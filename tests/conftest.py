@@ -1,0 +1,22 @@
+"""Test configuration: run the JAX parts on a virtual 8-device CPU mesh.
+
+Real TPU hardware in this environment exposes a single chip; multi-chip
+sharding logic is validated against XLA's host-platform device emulation,
+exactly as the driver's dryrun does.  Must run before jax is imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(20260817)
