@@ -7,10 +7,16 @@ exactly as the driver's dryrun does.  Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin registers itself at interpreter startup (sitecustomize)
+# and overrides JAX_PLATFORMS from the environment; the config API wins.
+jax.config.update("jax_platforms", "cpu")
 
 import random
 

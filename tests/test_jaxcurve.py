@@ -1,0 +1,90 @@
+"""Batched TPU Jacobian point ops vs the host golden model (G1 and G2)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from zklaim_tpu.ec import jaxcurve as JC
+from zklaim_tpu.ec.hostcurve import (
+    CurvePoint,
+    g1_generator,
+    g1_infinity,
+    g2_generator,
+    g2_infinity,
+)
+
+G1_CASES = "g1"
+G2_CASES = "g2"
+
+
+def _setup(group):
+    if group == "g1":
+        f = JC.FQ_OPS
+        gen = g1_generator()
+        inf = g1_infinity()
+    else:
+        f = JC.FQ2_OPS
+        gen = g2_generator()
+        inf = g2_infinity()
+    return f, gen, inf
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_roundtrip_host_jac(group):
+    f, gen, inf = _setup(group)
+    pts = [gen * k for k in [1, 2, 3, 12345]] + [inf]
+    jac = JC.host_points_to_jac(f, pts)
+    back = JC.jac_to_host_points(f, jac)
+    assert back == pts
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_unified_add_all_cases(group):
+    f, gen, inf = _setup(group)
+    # pairs covering: generic add, doubling (P==Q), opposite (P==-Q),
+    # P1 inf, P2 inf, both inf
+    p1s = [gen * 2, gen * 5, gen * 7, inf, gen * 9, inf]
+    p2s = [gen * 3, gen * 5, -(gen * 7), gen * 4, inf, inf]
+    want = [a + b for a, b in zip(p1s, p2s)]
+
+    j1 = JC.host_points_to_jac(f, p1s)
+    j2 = JC.host_points_to_jac(f, p2s)
+    out = jax.jit(JC.point_add, static_argnums=0)(f, j1, j2)
+    got = JC.jac_to_host_points(f, out)
+    assert got == want
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_double(group):
+    f, gen, inf = _setup(group)
+    pts = [gen, gen * 3, inf]
+    jac = JC.host_points_to_jac(f, pts)
+    out = jax.jit(JC.point_double, static_argnums=0)(f, jac)
+    got = JC.jac_to_host_points(f, out)
+    assert got == [p.double() for p in pts]
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_neg_select(group):
+    f, gen, inf = _setup(group)
+    pts = [gen, gen * 2]
+    jac = JC.host_points_to_jac(f, pts)
+    got = JC.jac_to_host_points(f, JC.point_neg(f, jac))
+    assert got == [-p for p in pts]
+
+    mask = np.array([True, False])
+    sel = JC.point_select(f, mask, jac, JC.point_neg(f, jac))
+    got = JC.jac_to_host_points(f, sel)
+    assert got == [pts[0], -pts[1]]
+
+
+def test_add_chain_matches_scalar_mul():
+    f, gen, _ = _setup("g1")
+    # accumulate gen 8 times by repeated unified adds (exercises eq path too)
+    acc = JC.host_points_to_jac(f, [gen])
+    g = JC.host_points_to_jac(f, [gen])
+    add = jax.jit(JC.point_add, static_argnums=0)
+    for _ in range(7):
+        acc = add(f, acc, g)
+    assert JC.jac_to_host_points(f, acc) == [gen * 8]

@@ -5,15 +5,30 @@ batch axes; the trailing axis is the 16-limb base-2^16 representation
 (see limbs.py).  Elements are kept in the Montgomery domain (x*R mod p,
 R = 2^256) on device; conversion happens only at host boundaries.
 
-Algorithm: CIOS (coarsely integrated operand scanning) Montgomery
-multiplication with lazy carries.
+Algorithm: full-width SOS/REDC Montgomery multiplication, reformulated
+for XLA/TPU:
 
-Lazy-carry bound: during the i-th outer step, a limb receives at most
-  plo + phi + qlo + qhi  <  4 * 2^16
-and there are 16 outer steps plus one carry fold (< 2^7), so every
-accumulator stays below 2^22 + 2^7 << 2^32.  No intermediate carry
-propagation is required -- this is the property the 16-bit limb width
-buys on the 32-bit TPU VPU.
+  T  = a * b                      (31-limb lazy product)
+  m  = (T mod R) * (-p^-1 mod R)  (low 16 limbs only)
+  t  = (T + m * p) / R            (exact division; < 2p, one cond-subtract)
+
+The limb-by-limb sequential CIOS recurrence used on scalar CPUs is
+hostile to XLA here: fully unrolled it costs ~2k HLO ops per multiply and
+compile time explodes superlinearly (measured: 1 mul = 3s, 30 muls = 143s
+to compile on this toolchain).  Full-width REDC instead expresses each
+256x256-bit product as ONE broadcasted outer product (..., 16, 16) plus a
+"shear by reshape" anti-diagonal reduction -- pad (16,16)->(16,32),
+flatten, truncate to 496, reshape (16,31), sum rows.  Element O[i,j] of
+the padded row-major buffer sits at flat index 32i+j = 31i + (i+j), i.e.
+exactly at column i+j of the (16,31) view, so the polynomial convolution
+c[k] = sum_{i+j=k} a_i*b_j costs pad+reshape+sum: no gathers, no loops.
+
+Lazy-carry bounds (everything in uint32):
+  - 16x16-bit limb products are exact in u32;
+  - anti-diagonal sums of lo/hi halves are < 16*2^16 = 2^20 each, so a
+    combined product limb is < 2^21;
+  - T + m*p limbs are < 2^22.
+Carry chains (16 sequential shift+adds) run only three times per multiply.
 
 TPU-native replacement for libff's Fp_model Montgomery arithmetic
 (reference reaches it via libsnark; see SURVEY.md §2.6 row 1).
@@ -57,12 +72,15 @@ class FieldSpec:
     p_limbs: np.ndarray = field(init=False, repr=False, compare=False)
     one_mont: np.ndarray = field(init=False, repr=False, compare=False)
     r2_limbs: np.ndarray = field(init=False, repr=False, compare=False)
+    nprime_limbs: np.ndarray = field(init=False, repr=False, compare=False)
     exp_p_minus_2_bits: np.ndarray = field(init=False, repr=False, compare=False)
 
     def __post_init__(self):
         object.__setattr__(self, "p_limbs", int_to_limbs(self.p))
         object.__setattr__(self, "one_mont", int_to_limbs(self.r_mod))
         object.__setattr__(self, "r2_limbs", int_to_limbs(self.r2))
+        nprime = (-pow(self.p, -1, params.MONT_R)) % params.MONT_R
+        object.__setattr__(self, "nprime_limbs", int_to_limbs(nprime))
         bits = np.array([(self.p - 2 >> i) & 1 for i in range(256)], dtype=np.uint32)
         object.__setattr__(self, "exp_p_minus_2_bits", bits)
 
@@ -87,45 +105,56 @@ def _cond_sub_p(spec: FieldSpec, limbs_list):
     return out
 
 
+def _diag_sum(outer):
+    """(..., 16, 16) -> (..., 31) anti-diagonal sums via shear-by-reshape."""
+    L = NUM_LIMBS
+    batch = outer.shape[:-2]
+    pad_widths = [(0, 0)] * len(batch) + [(0, 0), (0, L)]
+    padded = jnp.pad(outer, pad_widths)                       # (..., 16, 32)
+    flat = padded.reshape(batch + (2 * L * L,))               # O[i,j] at 32i+j
+    sheared = flat[..., : L * (2 * L - 1)].reshape(batch + (L, 2 * L - 1))
+    return jnp.sum(sheared, axis=-2)                          # (..., 31)
+
+
+def _poly_mul(a, b, out_limbs=2 * NUM_LIMBS):
+    """Lazy schoolbook product of 16-limb numbers: (..., 32) limbs < 2^21.
+
+    Inputs must be canonical (< 2^16).  out_limbs=16 computes mod 2^256.
+    """
+    outer = a[..., :, None] * b[..., None, :]                 # exact in u32
+    lo = _diag_sum(outer & LIMB_MASK)                         # (..., 31)
+    hi = _diag_sum(outer >> LIMB_BITS)                        # (..., 31)
+    pad_hi = [(0, 0)] * (hi.ndim - 1) + [(1, 0)]
+    pad_lo = [(0, 0)] * (lo.ndim - 1) + [(0, 1)]
+    c = jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi)             # (..., 32)
+    return c[..., :out_limbs]
+
+
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product abR^{-1} mod p. a, b: (..., 16) u32 canonical."""
-    al = unstack(a)
-    bl = unstack(b)
     L = NUM_LIMBS
-    pinv = np.uint32(spec.pinv16)
-    pl = [np.uint32(v) for v in spec.p_limbs]
+    t = _poly_mul(a, b)                                       # (..., 32) lazy
 
-    zero = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=U32)
-    t = [zero] * (2 * L + 1)
+    # canonicalize low half; its overflow feeds the high half at limb 16
+    t_low, carry16 = carry_canonical(unstack(t[..., :L]))
 
-    for i in range(L):
-        if i > 0:
-            # positions < i are finalized (== 0 mod 2^16); fold their carry up
-            t[i] = t[i] + (t[i - 1] >> LIMB_BITS)
-        ai = al[i]
-        # t += a_i * b * 2^(16 i)
-        for j in range(L):
-            prod = ai * bl[j]
-            t[i + j] = t[i + j] + (prod & LIMB_MASK)
-            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
-        # m = t[i] * (-p^-1) mod 2^16 ;  t += m * p * 2^(16 i)
-        m = (t[i] * pinv) & LIMB_MASK
-        for j in range(L):
-            prod = m * pl[j]
-            t[i + j] = t[i + j] + (prod & LIMB_MASK)
-            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
+    # m = (T mod R) * nprime mod R
+    np_l = jnp.asarray(spec.nprime_limbs)
+    m_lazy = _poly_mul(stack(t_low), jnp.broadcast_to(np_l, a.shape), out_limbs=L)
+    m, _ = carry_canonical(unstack(m_lazy))                   # mod R: drop carry
 
-    t[L] = t[L] + (t[L - 1] >> LIMB_BITS)
-    hi = t[L : 2 * L + 1]
-    canon, carry = carry_canonical(hi)
-    # result < 2p and fits 17 limbs; top limb after reduction must be absorbed
-    # carry/canon[16] participate in the conditional subtract via a 17-limb cmp
-    res16 = canon[:L]
-    top = canon[L]
-    # value = res16 + top*2^256 ; since value < 2p < 2^255, top == 0 always.
-    del top, carry
-    out = _cond_sub_p(spec, res16)
-    return stack(out)
+    # T + m*p, divided by R
+    mp = _poly_mul(stack(m), jnp.broadcast_to(jnp.asarray(spec.p_limbs), a.shape))
+    # low half of T + m*p is divisible by R; compute its carry into limb 16
+    low = [tl + ml for tl, ml in zip(t_low, unstack(mp[..., :L]))]
+    _, carry_low = carry_canonical(low)
+
+    hi_t = unstack(t[..., L:])                                # 16 limbs
+    hi_mp = unstack(mp[..., L:])                              # 16 limbs
+    res = [a_ + b_ for a_, b_ in zip(hi_t, hi_mp)]
+    res[0] = res[0] + carry16 + carry_low
+    canon, _carry_out = carry_canonical(res)                  # < 2p so no overflow
+    return stack(_cond_sub_p(spec, canon))
 
 
 def add_mod(spec: FieldSpec, a, b):
