@@ -1,0 +1,141 @@
+"""Radix-2 NTT / iNTT over BN254 Fr for TPU.
+
+TPU-native replacement for libfqfft's basic_radix2_domain (the reference
+reaches it through libsnark's QAP instance/witness maps; SURVEY.md §2.6
+row 4, include path reference zklaim/CMakeLists.txt:68,77).
+
+Design notes (XLA-first):
+  - The domain size n = 2^k is static, so the k butterfly stages are
+    unrolled at trace time; each stage is ONE batched Montgomery multiply
+    of n/2 elements plus an add/sub pair -- no gathers inside stages.
+  - Stage geometry is expressed with reshapes: at stage s the array is
+    viewed as (n/m, 2, m/2) [DIT, m = 2^(s+1)]; the twiddle vector
+    broadcasts over the leading axis.  XLA lowers this to pure
+    elementwise work plus layout changes.
+  - The input bit-reversal permutation is a single static `take`.
+  - Twiddle tables (per-stage powers of omega) are precomputed on the
+    host in python ints and shipped as Montgomery-domain limb constants;
+    they are baked into the jitted computation as literals.
+  - Coset (shifted-domain) transforms premultiply by powers of the Fr
+    multiplicative generator g -- one extra batched multiply -- which is
+    what Groth16's H-polynomial division needs (Z(g·ω^i) = g^n - 1 is a
+    nonzero constant on the coset).
+
+Multi-chip: stages with stride >= n/num_shards touch both shards of a
+sharded array; dist/ shards the leading axis and runs the first k - log2(S)
+stages locally, exchanging once via all_to_all (see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ff import montgomery as M
+from ..ff.limbs import NUM_LIMBS, ints_to_limbs
+from ..ff.montgomery import FR
+from ..ff.params import FR_GENERATOR, R, ROOT_OF_UNITY, TWO_ADICITY
+
+
+class NTTDomain:
+    """Radix-2 evaluation domain of size n = 2^k over Fr.
+
+    Holds host-side integer constants and device-ready Montgomery limb
+    tables.  Instances are cached per size; safe to treat as jit-static.
+    """
+
+    def __init__(self, n: int):
+        if n & (n - 1) or n == 0:
+            raise ValueError("domain size must be a power of two")
+        k = n.bit_length() - 1
+        if k > TWO_ADICITY:
+            raise ValueError("domain too large for Fr two-adicity")
+        self.n = n
+        self.k = k
+        self.omega = pow(ROOT_OF_UNITY, 1 << (TWO_ADICITY - k), R)
+        self.omega_inv = pow(self.omega, R - 2, R)
+        self.n_inv = pow(n, R - 2, R)
+        self.shift = FR_GENERATOR          # coset shift g
+        self.shift_inv = pow(self.shift, R - 2, R)
+
+        # bit-reversal permutation (static gather indices)
+        idx = np.arange(n, dtype=np.int32)
+        rev = np.zeros(n, dtype=np.int32)
+        for b in range(k):
+            rev |= ((idx >> b) & 1) << (k - 1 - b)
+        self.bitrev = rev
+
+        # per-stage twiddles, Montgomery domain: stage s has m = 2^(s+1),
+        # needs omega_m^j for j in [0, m/2)
+        def mont(vals):
+            return ints_to_limbs([v * (1 << 256) % R for v in vals])
+
+        self.stage_tw = []
+        self.stage_tw_inv = []
+        for s in range(k):
+            m = 1 << (s + 1)
+            wm = pow(self.omega, n // m, R)
+            wmi = pow(self.omega_inv, n // m, R)
+            tw = [1]
+            twi = [1]
+            for _ in range(m // 2 - 1):
+                tw.append(tw[-1] * wm % R)
+                twi.append(twi[-1] * wmi % R)
+            self.stage_tw.append(mont(tw))
+            self.stage_tw_inv.append(mont(twi))
+
+        # coset premultipliers g^i and their inverses; n^{-1} scalar
+        pw, pwi = [1], [1]
+        for _ in range(n - 1):
+            pw.append(pw[-1] * self.shift % R)
+            pwi.append(pwi[-1] * self.shift_inv % R)
+        self.shift_pows = mont(pw)
+        self.shift_pows_inv = mont(pwi)
+        self.n_inv_mont = mont([self.n_inv])[0]
+        # Z_H(g) = g^n - 1 on the coset (constant), and its inverse
+        zg = (pow(self.shift, n, R) - 1) % R
+        self.z_coset_inv_mont = mont([pow(zg, R - 2, R)])[0]
+
+    # -- device transforms ------------------------------------------------
+
+    def _butterflies(self, x, tables):
+        n = self.n
+        for s in range(self.k):
+            m = 1 << (s + 1)
+            tw = jnp.asarray(tables[s])                      # (m/2, 16)
+            v = x.reshape(n // m, 2, m // 2, NUM_LIMBS)
+            a, b = v[:, 0], v[:, 1]
+            t = M.mont_mul(FR, b, tw)
+            x = jnp.stack([M.add_mod(FR, a, t), M.sub_mod(FR, a, t)], axis=1)
+            x = x.reshape(n, NUM_LIMBS)
+        return x
+
+    def ntt(self, x):
+        """Coefficients -> evaluations on <omega>.  x: (n, 16) mont."""
+        x = jnp.take(x, jnp.asarray(self.bitrev), axis=0)
+        return self._butterflies(x, self.stage_tw)
+
+    def intt(self, y):
+        """Evaluations on <omega> -> coefficients."""
+        y = jnp.take(y, jnp.asarray(self.bitrev), axis=0)
+        out = self._butterflies(y, self.stage_tw_inv)
+        n_inv = jnp.asarray(self.n_inv_mont)
+        return M.mont_mul(FR, out, n_inv)
+
+    def coset_ntt(self, x):
+        """Coefficients -> evaluations on g·<omega>."""
+        x = M.mont_mul(FR, x, jnp.asarray(self.shift_pows))
+        return self.ntt(x)
+
+    def coset_intt(self, y):
+        """Evaluations on g·<omega> -> coefficients."""
+        c = self.intt(y)
+        return M.mont_mul(FR, c, jnp.asarray(self.shift_pows_inv))
+
+
+@lru_cache(maxsize=None)
+def get_domain(n: int) -> NTTDomain:
+    return NTTDomain(n)
