@@ -18,6 +18,11 @@ import jax
 # and overrides JAX_PLATFORMS from the environment; the config API wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Wide-limb field kernels are compile-time heavy (a point-add graph is ~8k
+# StableHLO lines); persist compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_zklaim")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import random
 
 import pytest

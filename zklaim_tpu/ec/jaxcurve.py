@@ -1,21 +1,25 @@
-"""Batched Jacobian elliptic-curve arithmetic on TPU (BN254 G1 and G2).
+"""Batched projective elliptic-curve arithmetic on TPU (BN254 G1 and G2).
 
-Points are pytrees (X, Y, Z) of Montgomery-domain limb arrays; G1
-coordinates are Fq elements of shape (..., 16), G2 coordinates are Fq2
-elements of shape (..., 2, 16).  Infinity is encoded as Z == 0.
+Points are pytrees (X, Y, Z) of Montgomery-domain limb arrays in
+homogeneous projective coordinates; G1 coordinates are Fq elements of
+shape (..., 16), G2 coordinates are Fq2 elements of shape (..., 2, 16).
+Infinity is (0, 1, 0) (any (0, y!=0, 0) decodes as infinity).
 
-The group law is a branchless *unified* add: both the generic-add and the
-doubling formulas are evaluated and the correct result is selected with
-masks (equal points -> double; opposite -> infinity; either operand at
-infinity -> the other).  This makes the op safe as an associative-scan /
-reduction combiner in the MSM kernels, where operand equality is data-
-dependent.
+Group law: the *complete* addition/doubling formulas of Renes-Costello-
+Batina 2016 for a=0 short-Weierstrass curves (add: 12M + 2 mul-by-3b,
+dbl: 8M + 1 mul-by-3b).  Complete formulas are the TPU-native choice:
+one branch-free dataflow handles every input combination (P=Q, P=-Q,
+either infinity) with NO masks and NO second formula path, so the op is
+safe as a combiner in data-dependent reductions (MSM bucket sums) and
+the XLA graph stays small.  Completeness holds for points of odd prime
+order -- all of G1 (cofactor 1) and the r-order G2 subgroup.
 
-Independent field multiplications inside a formula are stacked into single
-mont_mul calls ("stage batching"): fewer HLO ops per point-add (compile
-time) and wider elementwise kernels at runtime.
+Independent field multiplications are stacked into single mont_mul calls
+("stage batching"): an add is 2 stacked multiplies of width 6, keeping
+both compile time (~2k StableHLO lines vs ~8k for masked Jacobian) and
+runtime (fewer, wider kernels) down.
 
-TPU-native replacement for libff alt_bn128_G1/G2 Jacobian arithmetic
+TPU-native replacement for libff alt_bn128_G1/G2 arithmetic
 (SURVEY.md §2.6 rows 1-2).
 """
 
@@ -24,13 +28,14 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..ff import montgomery as M
-from ..ff.limbs import NUM_LIMBS
+from ..ff.limbs import LIMB_BITS, NUM_LIMBS
 from ..ff.montgomery import FQ
-from .hostcurve import B_G1, B_G2, CurvePoint, g1_generator, g2_generator
+from .hostcurve import B_G1, B_G2, CurvePoint
 from ..ff.hostfield import Fq, Fq2
-from ..ff.params import MONT_R, Q
+from ..ff.params import Q
 
 
 # ---------------------------------------------------------------------------
@@ -71,10 +76,32 @@ class FqOps:
     @staticmethod
     def mul_many(pairs):
         """Stack independent products into one mont_mul call."""
-        lhs = jnp.stack([p[0] for p in pairs], axis=0)
-        rhs = jnp.stack([p[1] for p in pairs], axis=0)
+        lhs = jnp.stack([jnp.broadcast_to(p[0], jnp.broadcast_shapes(p[0].shape, p[1].shape)) for p in pairs], axis=0)
+        rhs = jnp.stack([jnp.broadcast_to(p[1], jnp.broadcast_shapes(p[0].shape, p[1].shape)) for p in pairs], axis=0)
         out = M.mont_mul(FQ, lhs, rhs)
         return [out[i] for i in range(len(pairs))]
+
+    @staticmethod
+    def add_many(pairs):
+        lhs = jnp.stack([p[0] for p in pairs], axis=0)
+        rhs = jnp.stack([p[1] for p in pairs], axis=0)
+        out = M.add_mod(FQ, lhs, rhs)
+        return [out[i] for i in range(len(pairs))]
+
+    @staticmethod
+    def sub_many(pairs):
+        lhs = jnp.stack([p[0] for p in pairs], axis=0)
+        rhs = jnp.stack([p[1] for p in pairs], axis=0)
+        out = M.sub_mod(FQ, lhs, rhs)
+        return [out[i] for i in range(len(pairs))]
+
+    @staticmethod
+    def mul_b3(x):
+        """9*x (3b for b=3) via an addition chain: ((2(2(2x))) + x)."""
+        d = M.add_mod(FQ, x, x)
+        d = M.add_mod(FQ, d, d)
+        d = M.add_mod(FQ, d, d)
+        return M.add_mod(FQ, d, x)
 
     @staticmethod
     def inv(a):
@@ -98,6 +125,16 @@ class FqOps:
         return jnp.broadcast_to(
             jnp.asarray(FQ.one_mont, dtype=jnp.uint32), batch_shape + (NUM_LIMBS,)
         )
+
+
+def _b3_g2_mont() -> np.ndarray:
+    """3 * b' for the G2 curve (b' = 3/xi), as (2, 16) Montgomery limbs."""
+    b3 = B_G2 * 3
+    out = np.stack([
+        M.encode_ints(M.FQ, [b3.c0])[0],
+        M.encode_ints(M.FQ, [b3.c1])[0],
+    ])
+    return out
 
 
 class Fq2Ops:
@@ -138,8 +175,11 @@ class Fq2Ops:
         For each (a, b): t0 = a0 b0, t1 = a1 b1, t2 = (a0+a1)(b0+b1);
         c0 = t0 - t1,  c1 = t2 - t0 - t1.
         """
+        shapes = [jnp.broadcast_shapes(a.shape, b.shape) for a, b in pairs]
         lhs, rhs = [], []
-        for a, b in pairs:
+        for (a, b), s in zip(pairs, shapes):
+            a = jnp.broadcast_to(a, s)
+            b = jnp.broadcast_to(b, s)
             a0, a1 = a[..., 0, :], a[..., 1, :]
             b0, b1 = b[..., 0, :], b[..., 1, :]
             lhs += [a0, a1, M.add_mod(FQ, a0, a1)]
@@ -152,6 +192,30 @@ class Fq2Ops:
             c1 = M.sub_mod(FQ, M.sub_mod(FQ, t2, t0), t1)
             out.append(jnp.stack([c0, c1], axis=-2))
         return out
+
+    @staticmethod
+    def add_many(pairs):
+        lhs = jnp.stack([p[0] for p in pairs], axis=0)
+        rhs = jnp.stack([p[1] for p in pairs], axis=0)
+        out = M.add_mod(FQ, lhs, rhs)
+        return [out[i] for i in range(len(pairs))]
+
+    @staticmethod
+    def sub_many(pairs):
+        lhs = jnp.stack([p[0] for p in pairs], axis=0)
+        rhs = jnp.stack([p[1] for p in pairs], axis=0)
+        out = M.sub_mod(FQ, lhs, rhs)
+        return [out[i] for i in range(len(pairs))]
+
+    _B3 = None
+
+    @classmethod
+    def mul_b3(cls, x):
+        """(3b') * x -- full Fq2 constant multiply (b' = 3/xi is generic)."""
+        if cls._B3 is None:
+            cls._B3 = _b3_g2_mont()
+        c = jnp.asarray(cls._B3)
+        return cls.mul(x, jnp.broadcast_to(c, x.shape))
 
     @staticmethod
     def inv(a):
@@ -186,12 +250,12 @@ FQ2_OPS = Fq2Ops()
 
 
 # ---------------------------------------------------------------------------
-# Jacobian group law (branchless unified add + dedicated double)
+# Complete projective group law (RCB16, a = 0)
 # ---------------------------------------------------------------------------
 
 
 def point_infinity(f, batch_shape=()):
-    return (f.ones(batch_shape), f.ones(batch_shape), f.zeros(batch_shape))
+    return (f.zeros(batch_shape), f.ones(batch_shape), f.zeros(batch_shape))
 
 
 def point_neg(f, p):
@@ -208,66 +272,71 @@ def point_is_inf(f, p):
     return f.is_zero(p[2])
 
 
-def point_double(f, p):
-    """dbl-2009-l for a=0: safe for all inputs (Z=0 or Y=0 -> infinity)."""
+def point_add(f, p, q):
+    """Complete projective add (RCB16 alg. 7): valid for ALL inputs."""
     x1, y1, z1 = p
-    xx, yy, y1z1 = f.mul_many([(x1, x1), (y1, y1), (y1, z1)])
-    yyyy, s_half = f.mul_many([(yy, yy), (f.add(x1, yy), f.add(x1, yy))])
-    # D = 2*((X+YY)^2 - XX - YYYY)
-    d = f.dbl(f.sub(f.sub(s_half, xx), yyyy))
-    e = f.add(f.dbl(xx), xx)  # 3 XX
-    ff_ = f.mul(e, e)
-    x3 = f.sub(ff_, f.dbl(d))
-    y3 = f.sub(f.mul(e, f.sub(d, x3)), f.dbl(f.dbl(f.dbl(yyyy))))
-    z3 = f.dbl(y1z1)
+    x2, y2, z2 = q
+
+    s0, s1, s2, s3, s4, s5 = f.add_many(
+        [(x1, y1), (x2, y2), (y1, z1), (y2, z2), (x1, z1), (x2, z2)]
+    )
+    t0, t1, t2, m0, m1, m2 = f.mul_many(
+        [(x1, x2), (y1, y2), (z1, z2), (s0, s1), (s2, s3), (s4, s5)]
+    )
+    u01, u12, u02 = f.add_many([(t0, t1), (t1, t2), (t0, t2)])
+    t3, t4, t5 = f.sub_many([(m0, u01), (m1, u12), (m2, u02)])
+    # m = 3*X1X2
+    m = f.add(f.dbl(t0), t0)
+    # n = 3b*Z1Z2 ; bv = 3b*(X1Z2+X2Z1)   (stacked through one chain/mul)
+    nb = f.mul_b3(jnp.stack([t2, t5], axis=0))
+    n, bv = nb[0], nb[1]
+    wmn = f.sub(t1, n)
+    wpn = f.add(t1, n)
+    p0, p1_, p2_, p3_, p4_, p5_ = f.mul_many(
+        [(t3, wmn), (t4, bv), (wpn, wmn), (m, bv), (t4, wpn), (t3, m)]
+    )
+    x3 = f.sub(p0, p1_)
+    y3, z3 = f.add_many([(p2_, p3_), (p4_, p5_)])
     return (x3, y3, z3)
 
 
-def point_add(f, p1, p2):
-    """Complete unified Jacobian add; correct for every input combination."""
-    x1, y1, z1 = p1
-    x2, y2, z2 = p2
-
-    z1z1, z2z2, y1z2, y2z1 = f.mul_many([(z1, z1), (z2, z2), (y1, z2), (y2, z1)])
-    u1, u2, s1, s2 = f.mul_many([(x1, z2z2), (x2, z1z1), (y1z2, z2z2), (y2z1, z1z1)])
-    h = f.sub(u2, u1)
-    r = f.sub(s2, s1)
-
-    # generic-add path
-    hh, rr, z1z2 = f.mul_many([(h, h), (r, r), (z1, z2)])
-    hhh, u1hh, z3a = f.mul_many([(h, hh), (u1, hh), (z1z2, h)])
-    x3a = f.sub(f.sub(rr, hhh), f.dbl(u1hh))
-    t5, s1hhh = f.mul_many([(r, f.sub(u1hh, x3a)), (s1, hhh)])
-    y3a = f.sub(t5, s1hhh)
-
-    # doubling path
-    xd, yd, zd = point_double(f, p1)
-
-    p1_inf = point_is_inf(f, p1)
-    p2_inf = point_is_inf(f, p2)
-    both = jnp.logical_and(~p1_inf, ~p2_inf)
-    h_zero = f.is_zero(h)
-    r_zero = f.is_zero(r)
-    eq = jnp.logical_and(both, jnp.logical_and(h_zero, r_zero))
-    opp = jnp.logical_and(both, jnp.logical_and(h_zero, ~r_zero))
-
-    x3 = f.select(eq, xd, x3a)
-    y3 = f.select(eq, yd, y3a)
-    z3 = f.select(eq, zd, z3a)
-    # opposite points -> infinity
-    z3 = f.select(opp, f.zeros(_batch_shape(f, z3)), z3)
-    # operand at infinity -> the other operand
-    out = (
-        f.select(p1_inf, x2, f.select(p2_inf, x1, x3)),
-        f.select(p1_inf, y2, f.select(p2_inf, y1, y3)),
-        f.select(p1_inf, z2, f.select(p2_inf, z1, z3)),
-    )
-    return out
+def point_double(f, p):
+    """Complete projective doubling (RCB16 alg. 9): valid for ALL inputs."""
+    x, y, z = p
+    t0, t1, t2, t3 = f.mul_many([(y, y), (y, z), (z, z), (x, y)])
+    z8 = f.dbl(f.dbl(f.dbl(t0)))          # 8*Y^2
+    n = f.mul_b3(t2)                       # 3b*Z^2
+    n3 = f.add(f.dbl(n), n)
+    t0m, t0p = f.sub(t0, n3), f.add(t0, n)
+    q0, q1, q2, q3 = f.mul_many([(t1, z8), (n, z8), (t0m, t0p), (t0m, t3)])
+    z3 = q0
+    y3 = f.add(q2, q1)
+    x3 = f.dbl(q3)
+    return (x3, y3, z3)
 
 
 def _batch_shape(f, coord):
     """Leading batch shape of a coordinate array (strip field dims)."""
     return coord.shape[: coord.ndim - (1 if f.deg == 1 else 2)]
+
+
+def scalar_mul(f, point, scalars):
+    """Batched double-and-add: scalars[i] * point[i].
+
+    scalars: (..., 16) u32 plain-domain (NOT Montgomery) limbs, batch shape
+    matching the point batch.  256-step fori_loop, MSB-first.
+    """
+
+    def body(i, acc):
+        bit_index = 255 - i
+        limb = jnp.take(scalars, bit_index // LIMB_BITS, axis=-1)
+        bit = (limb >> (bit_index % LIMB_BITS).astype(jnp.uint32)) & 1
+        acc = point_double(f, acc)
+        added = point_add(f, acc, point)
+        return point_select(f, bit == 1, added, acc)
+
+    init = point_infinity(f, _batch_shape(f, point[2]))
+    return lax.fori_loop(0, 256, body, init)
 
 
 # ---------------------------------------------------------------------------
@@ -279,14 +348,14 @@ def _fq_encode_many(vals):
     return M.encode_ints(FQ, vals)
 
 
-def host_points_to_jac(f, points):
-    """List of host CurvePoints (affine or inf) -> batched Jacobian arrays."""
+def host_points_to_proj(f, points):
+    """List of host CurvePoints (affine or inf) -> batched projective arrays."""
     n = len(points)
     if f.deg == 1:
         xs, ys, zs = [], [], []
         for p in points:
             if p.inf:
-                xs.append(1), ys.append(1), zs.append(0)
+                xs.append(0), ys.append(1), zs.append(0)
             else:
                 xs.append(p.x.v), ys.append(p.y.v), zs.append(1)
         return (
@@ -297,7 +366,7 @@ def host_points_to_jac(f, points):
     xs, ys, zs = [], [], []
     for p in points:
         if p.inf:
-            xs += [1, 0]
+            xs += [0, 0]
             ys += [1, 0]
             zs += [0, 0]
         else:
@@ -312,9 +381,9 @@ def host_points_to_jac(f, points):
     )
 
 
-def jac_to_host_points(f, jac):
-    """Batched Jacobian arrays -> list of host CurvePoints (exact)."""
-    x_arr, y_arr, z_arr = (np.asarray(c) for c in jac)
+def proj_to_host_points(f, proj):
+    """Batched projective arrays -> list of host CurvePoints (exact)."""
+    x_arr, y_arr, z_arr = (np.asarray(c) for c in proj)
     if f.deg == 1:
         xs = M.decode_ints(FQ, x_arr)
         ys = M.decode_ints(FQ, y_arr)
@@ -325,8 +394,7 @@ def jac_to_host_points(f, jac):
                 out.append(CurvePoint.infinity(B_G1))
             else:
                 zinv = pow(z, -1, Q)
-                zi2 = zinv * zinv % Q
-                out.append(CurvePoint(Fq(x * zi2 % Q), Fq(y * zi2 % Q * zinv % Q), B_G1))
+                out.append(CurvePoint(Fq(x * zinv % Q), Fq(y * zinv % Q), B_G1))
         return out
     n = x_arr.shape[0]
     xs = M.decode_ints(FQ, x_arr.reshape(n * 2, NUM_LIMBS))
@@ -341,6 +409,10 @@ def jac_to_host_points(f, jac):
         x = Fq2(xs[2 * i], xs[2 * i + 1])
         y = Fq2(ys[2 * i], ys[2 * i + 1])
         zinv = z.inverse()
-        zi2 = zinv.square()
-        out.append(CurvePoint(x * zi2, y * zi2 * zinv, B_G2))
+        out.append(CurvePoint(x * zinv, y * zinv, B_G2))
     return out
+
+
+# Backwards-compatible aliases (pre-projective names)
+host_points_to_jac = host_points_to_proj
+jac_to_host_points = proj_to_host_points

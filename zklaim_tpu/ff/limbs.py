@@ -78,53 +78,70 @@ def u64s_to_limbs(xs: np.ndarray, n: int = NUM_LIMBS) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Raw limb helpers (jnp, batched over leading axes)
+# Raw limb helpers (jnp, batched over leading axes, vectorized in the limb
+# axis).  Carry/borrow chains are NOT unrolled limb-by-limb: an unrolled
+# 16-step ripple costs ~50 HLO ops per chain and there are three chains per
+# Montgomery multiply, which made point-add graphs balloon to ~17k StableHLO
+# lines (47 s XLA compile each).  Instead: two vectorized relax passes bring
+# every limb to <= 2^16 with pending carries in {0,1}, then a Kogge-Stone
+# carry-lookahead (log2(16) = 4 rounds of whole-array ops) finishes the
+# ripple exactly.
 # ---------------------------------------------------------------------------
 
 
-def unstack(a):
-    """(..., n) -> list of n arrays (...,). Keeps mont-mul free of scatters."""
-    return [a[..., i] for i in range(a.shape[-1])]
+def shift_up(a, d: int = 1):
+    """Move limb i -> i+d along the trailing axis (zero-fill low limbs)."""
+    pad = [(0, 0)] * (a.ndim - 1) + [(d, 0)]
+    return jnp.pad(a, pad)[..., : a.shape[-1]]
 
 
-def stack(limbs):
-    return jnp.stack(limbs, axis=-1)
+def _kogge_stone_prefix(g, p):
+    """Inclusive prefix of the carry operator over the trailing axis.
 
-
-def carry_canonical(limbs_list):
-    """Propagate carries so every limb < 2^16. Input: list of u32 lazy limbs.
-
-    Returns (canonical_list, final_carry).  Sequential in limb index (length
-    L loop, unrolled at trace time); vectorized over the batch.
+    g, p: u32 arrays in {0,1} (generate / propagate per limb).  Returns
+    G with G[..., i] = carry generated out of limbs [0..i].
     """
-    out = []
-    carry = jnp.zeros_like(limbs_list[0])
-    for limb in limbs_list:
-        t = limb + carry
-        out.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    return out, carry
+    n = g.shape[-1]
+    d = 1
+    while d < n:
+        g = g | (p & shift_up(g, d))
+        p = p & shift_up(p, d)
+        d *= 2
+    return g
 
 
-def sub_borrow(a_list, b_list):
-    """a - b with borrow chain (canonical <2^16 limbs in, canonical out).
-
-    Returns (limbs, borrow_flag in {0,1}).  With canonical inputs each step
-    value is in [-(2^16), 2^16), so after u32 wraparound the sign lives in
-    bit 31.
+def carry_canonical(a):
+    """Exact carry propagation: (..., n) lazy u32 limbs (< 2^22 each) ->
+    (canonical limbs < 2^16, carry_out) with
+    value(a) = value(canonical) + carry_out * 2^(16n).
     """
-    out = []
-    borrow = jnp.zeros_like(a_list[0])
-    for ai, bi in zip(a_list, b_list):
-        d = ai - bi - borrow  # u32 wraparound is well-defined
-        out.append(d & LIMB_MASK)
-        borrow = d >> 31
-    return out, borrow
+    carry_out = jnp.zeros_like(a[..., 0])
+    for _ in range(2):                       # limbs: < 2^22 -> < 2^16+2^6 -> <= 2^16
+        c = a >> LIMB_BITS
+        carry_out = carry_out + c[..., -1]
+        a = (a & LIMB_MASK) + shift_up(c)
+    g = a >> LIMB_BITS                        # in {0,1}
+    p = ((a & LIMB_MASK) == LIMB_MASK).astype(U32)
+    G = _kogge_stone_prefix(g, p)
+    carry_out = carry_out + G[..., -1]
+    return (a + shift_up(G)) & LIMB_MASK, carry_out
+
+
+def sub_borrow(a, b):
+    """a - b over canonical (..., n) limbs -> (canonical limbs, borrow).
+
+    borrow is (...,) in {0,1}; result encodes a - b + borrow * 2^(16n).
+    """
+    g = (a < b).astype(U32)
+    p = (a == b).astype(U32)
+    G = _kogge_stone_prefix(g, p)
+    out = (a - b - shift_up(G)) & LIMB_MASK   # u32 wraparound is exact mod 2^16
+    return out, G[..., -1]
 
 
 def geq(a, b):
     """(..., n) >= (..., n) elementwise over the batch (canonical limbs)."""
-    _, borrow = sub_borrow(unstack(a), unstack(b))
+    _, borrow = sub_borrow(a, b)
     return borrow == 0
 
 

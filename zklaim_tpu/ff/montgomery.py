@@ -52,9 +52,8 @@ from .limbs import (
     carry_canonical,
     int_to_limbs,
     select,
-    stack,
+    shift_up,
     sub_borrow,
-    unstack,
 )
 
 
@@ -97,12 +96,11 @@ FR = FieldSpec("Fr", params.R, params.R_PINV16, params.R_R_MOD, params.R_R2)
 # ---------------------------------------------------------------------------
 
 
-def _cond_sub_p(spec: FieldSpec, limbs_list):
+def _cond_sub_p(spec: FieldSpec, a):
     """Given canonical limbs possibly in [0, 2p), reduce to [0, p)."""
-    p_list = [jnp.asarray(np.uint32(v)) for v in spec.p_limbs]
-    diff, borrow = sub_borrow(limbs_list, [jnp.broadcast_to(pv, limbs_list[0].shape) for pv in p_list])
-    out = [jnp.where(borrow == 0, d, a) for d, a in zip(diff, limbs_list)]
-    return out
+    p_arr = jnp.broadcast_to(jnp.asarray(spec.p_limbs), a.shape)
+    diff, borrow = sub_borrow(a, p_arr)
+    return select(borrow == 0, diff, a)
 
 
 def _diag_sum(outer):
@@ -136,41 +134,37 @@ def mont_mul(spec: FieldSpec, a, b):
     t = _poly_mul(a, b)                                       # (..., 32) lazy
 
     # canonicalize low half; its overflow feeds the high half at limb 16
-    t_low, carry16 = carry_canonical(unstack(t[..., :L]))
+    t_low, carry16 = carry_canonical(t[..., :L])
 
     # m = (T mod R) * nprime mod R
     np_l = jnp.asarray(spec.nprime_limbs)
-    m_lazy = _poly_mul(stack(t_low), jnp.broadcast_to(np_l, a.shape), out_limbs=L)
-    m, _ = carry_canonical(unstack(m_lazy))                   # mod R: drop carry
+    m_lazy = _poly_mul(t_low, jnp.broadcast_to(np_l, a.shape), out_limbs=L)
+    m, _ = carry_canonical(m_lazy)                            # mod R: drop carry
 
     # T + m*p, divided by R
-    mp = _poly_mul(stack(m), jnp.broadcast_to(jnp.asarray(spec.p_limbs), a.shape))
+    mp = _poly_mul(m, jnp.broadcast_to(jnp.asarray(spec.p_limbs), a.shape))
     # low half of T + m*p is divisible by R; compute its carry into limb 16
-    low = [tl + ml for tl, ml in zip(t_low, unstack(mp[..., :L]))]
-    _, carry_low = carry_canonical(low)
+    _, carry_low = carry_canonical(t_low + mp[..., :L])
 
-    hi_t = unstack(t[..., L:])                                # 16 limbs
-    hi_mp = unstack(mp[..., L:])                              # 16 limbs
-    res = [a_ + b_ for a_, b_ in zip(hi_t, hi_mp)]
-    res[0] = res[0] + carry16 + carry_low
+    res = t[..., L:] + mp[..., L:]                            # (..., 16) < 2^22
+    head = (carry16 + carry_low)[..., None]
+    res = res + jnp.pad(head, [(0, 0)] * (head.ndim - 1) + [(0, L - 1)])
     canon, _carry_out = carry_canonical(res)                  # < 2p so no overflow
-    return stack(_cond_sub_p(spec, canon))
+    return _cond_sub_p(spec, canon)
 
 
 def add_mod(spec: FieldSpec, a, b):
     """(a + b) mod p, canonical in/out."""
-    s = a.astype(U32) + b.astype(U32)
-    canon, carry = carry_canonical(unstack(s))
+    canon, _carry = carry_canonical(a.astype(U32) + b.astype(U32))
     # a + b < 2p < 2^255 so carry out of 16 limbs is impossible
-    return stack(_cond_sub_p(spec, canon))
+    return _cond_sub_p(spec, canon)
 
 
 def sub_mod(spec: FieldSpec, a, b):
     """(a - b) mod p, canonical in/out."""
-    d, borrow = sub_borrow(unstack(a), unstack(b))
-    p_plus = [di + pv for di, pv in zip(d, [np.uint32(v) for v in spec.p_limbs])]
-    canon, _ = carry_canonical(p_plus)
-    return select(borrow == 0, stack(d), stack(canon))
+    d, borrow = sub_borrow(a, b)
+    canon, _ = carry_canonical(d + jnp.asarray(spec.p_limbs))
+    return select(borrow == 0, d, canon)
 
 
 def neg_mod(spec: FieldSpec, a):
