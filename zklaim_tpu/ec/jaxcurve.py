@@ -413,6 +413,31 @@ def proj_to_host_points(f, proj):
     return out
 
 
+def proj_to_affine_limbs(f, proj):
+    """Device batch: projective mont points -> (x, y, inf) plain-domain limbs.
+
+    Batched Fermat inversion of Z; infinity rows decode to x = y = 0.
+    """
+    x, y, z = proj
+    zinv = f.inv(z)                      # 0 -> 0 convention handles infinity
+    xa, ya = f.mul_many([(x, zinv), (y, zinv)])
+    # from_mont is elementwise in the trailing limb axis; Fq2's extra
+    # component axis broadcasts through untouched
+    return M.from_mont(FQ, xa), M.from_mont(FQ, ya), f.is_zero(z)
+
+
+def affine_limbs_to_proj(f, x_plain, y_plain, inf_mask):
+    """Inverse of proj_to_affine_limbs: plain affine limbs -> mont projective."""
+    xm = M.to_mont(FQ, x_plain)
+    ym = M.to_mont(FQ, y_plain)
+    batch = _batch_shape(f, xm)
+    zm = f.ones(batch)
+    xm = f.select(inf_mask, f.zeros(batch), xm)
+    ym = f.select(inf_mask, f.ones(batch), ym)
+    zm = f.select(inf_mask, f.zeros(batch), zm)
+    return (xm, ym, zm)
+
+
 # Backwards-compatible aliases (pre-projective names)
 host_points_to_jac = host_points_to_proj
 jac_to_host_points = proj_to_host_points

@@ -76,6 +76,8 @@ class FieldSpec:
 
     def __post_init__(self):
         object.__setattr__(self, "p_limbs", int_to_limbs(self.p))
+        object.__setattr__(self, "p2_limbs", int_to_limbs(2 * self.p))
+        object.__setattr__(self, "p4_limbs", int_to_limbs(4 * self.p))
         object.__setattr__(self, "one_mont", int_to_limbs(self.r_mod))
         object.__setattr__(self, "r2_limbs", int_to_limbs(self.r2))
         nprime = (-pow(self.p, -1, params.MONT_R)) % params.MONT_R
@@ -165,6 +167,27 @@ def sub_mod(spec: FieldSpec, a, b):
     d, borrow = sub_borrow(a, b)
     canon, _ = carry_canonical(d + jnp.asarray(spec.p_limbs))
     return select(borrow == 0, d, canon)
+
+
+def reduce_wide(spec: FieldSpec, a):
+    """Reduce lazy limbs (each < 2^32, value < 2^276) to canonical [0, p).
+
+    Used after lazy u32 segment-sums of canonical Montgomery values (up
+    to 2^16 addends are safe per limb).  The dropped 2^256-carry is
+    folded back with one Montgomery multiply by R^2
+    (mont_mul(c, R2) = c * 2^256 mod p).
+    """
+    canon, carry = carry_canonical(a)
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, NUM_LIMBS - 2)]
+    carry_limbs = jnp.pad(
+        jnp.stack([carry & LIMB_MASK, carry >> LIMB_BITS], axis=-1), pad
+    )
+    fold = mont_mul(spec, carry_limbs, jnp.broadcast_to(jnp.asarray(spec.r2_limbs), a.shape))
+    for plimbs in (spec.p4_limbs, spec.p2_limbs, spec.p_limbs):
+        p_arr = jnp.broadcast_to(jnp.asarray(plimbs), canon.shape)
+        diff, borrow = sub_borrow(canon, p_arr)
+        canon = select(borrow == 0, diff, canon)
+    return add_mod(spec, canon, fold)
 
 
 def neg_mod(spec: FieldSpec, a):

@@ -1,0 +1,200 @@
+"""Groth16 zk-SNARK: setup / prove / verify.
+
+TPU-native replacement for libsnark's r1cs_gg_ppzksnark_{generator,
+prover, verifier_strong_IC} (reference call sites zklaim/snark.cpp:91,
+126,62; SURVEY.md §2.6 row 5).
+
+Work placement:
+  - setup: QAP instance map on host ints (exact), then device batched
+    fixed-base exponentiation for the large pk tables;
+  - prove: device sparse-matvec + NTT pipeline for H, device Pippenger
+    MSMs for the five big sums, host single-point finishing;
+  - verify: host optimal-ate pairing product (latency-bound, 4 pairings).
+
+Proof system notes: identical to Groth16 as instantiated by libsnark
+(BN254, input-consistency rows, H from a same-size coset).  The prover
+early-aborts if the witness does not satisfy the constraint system,
+mirroring snark.cpp:121-124.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ec import jaxcurve as JC
+from ..ec.hostcurve import CurvePoint, g1_generator, g2_generator
+from ..ec.pairing import pairing_product_is_one
+from ..ff import montgomery as M
+from ..ff.limbs import ints_to_limbs
+from ..ff.montgomery import FR
+from ..ff.params import R
+from ..msm.pippenger import msm_pow2
+from .qap import QAP
+
+
+def _fixed_base(f, gen: CurvePoint, scalars):
+    """Device batched fixed-base multiplication: [s * gen for s in scalars].
+
+    Scalar count is padded to a power of two so all call sites share
+    log-many XLA compiles of the 256-step ladder.
+    """
+    k = len(scalars)
+    if k == 0:
+        return JC.point_infinity(f, (0,))
+    k2 = max(2, 1 << (k - 1).bit_length())
+    padded = [s % R for s in scalars] + [0] * (k2 - k)
+    base = JC.host_points_to_proj(f, [gen])
+    tiled = jax.tree.map(lambda a: jnp.broadcast_to(a, (k2,) + a.shape[1:]), base)
+    limbs = jnp.asarray(ints_to_limbs(padded))
+    out = jax.jit(JC.scalar_mul, static_argnums=0)(f, tiled, limbs)
+    return jax.tree.map(lambda a: a[:k], out)
+
+
+def _single(points_dev, i=None):
+    """Decode a device point (batch () or pick index i) to a host CurvePoint."""
+    if i is not None:
+        points_dev = jax.tree.map(lambda a: a[i], points_dev)
+    batched = jax.tree.map(lambda a: a[None], points_dev)
+    f = JC.FQ_OPS if batched[0].ndim == 2 else JC.FQ2_OPS
+    return JC.proj_to_host_points(f, batched)[0]
+
+
+@dataclass
+class ProvingKey:
+    num_vars: int
+    num_primary: int
+    m: int
+    alpha_g1: CurvePoint
+    beta_g1: CurvePoint
+    delta_g1: CurvePoint
+    beta_g2: CurvePoint
+    delta_g2: CurvePoint
+    a_g1: tuple          # (num_vars,) G1
+    b_g1: tuple          # (num_vars,) G1
+    b_g2: tuple          # (num_vars,) G2
+    h_g1: tuple          # (m-1,)      G1
+    l_g1: tuple          # (num_aux,)  G1
+
+
+@dataclass
+class VerifyingKey:
+    alpha_g1: CurvePoint
+    beta_g2: CurvePoint
+    gamma_g2: CurvePoint
+    delta_g2: CurvePoint
+    ic: list             # num_primary + 1 host G1 points
+
+
+@dataclass
+class Proof:
+    a: CurvePoint
+    b: CurvePoint
+    c: CurvePoint
+
+
+def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
+    """Trusted setup over a finished ConstraintSystem.
+
+    rng: random.Random-like (inject a seeded one for deterministic tests;
+    the caller owns destroying the toxic waste by dropping rng state).
+    """
+    qap = QAP(cs)
+    tau = rng.randrange(1, R)
+    alpha = rng.randrange(1, R)
+    beta = rng.randrange(1, R)
+    gamma = rng.randrange(1, R)
+    delta = rng.randrange(1, R)
+
+    at, bt, ct, z_tau = qap.eval_at_tau(tau)
+    gamma_inv = pow(gamma, -1, R)
+    delta_inv = pow(delta, -1, R)
+
+    n_pub = qap.num_primary + 1
+    ic_scalars = [
+        (beta * at[i] + alpha * bt[i] + ct[i]) * gamma_inv % R for i in range(n_pub)
+    ]
+    l_scalars = [
+        (beta * at[i] + alpha * bt[i] + ct[i]) * delta_inv % R
+        for i in range(n_pub, qap.num_vars)
+    ]
+    h_scalars = []
+    t_pow = 1
+    for _ in range(qap.m - 1):
+        h_scalars.append(t_pow * z_tau % R * delta_inv % R)
+        t_pow = t_pow * tau % R
+
+    g1, g2 = g1_generator(), g2_generator()
+    pk = ProvingKey(
+        num_vars=qap.num_vars,
+        num_primary=qap.num_primary,
+        m=qap.m,
+        alpha_g1=g1 * alpha,
+        beta_g1=g1 * beta,
+        delta_g1=g1 * delta,
+        beta_g2=g2 * beta,
+        delta_g2=g2 * delta,
+        a_g1=_fixed_base(JC.FQ_OPS, g1, at),
+        b_g1=_fixed_base(JC.FQ_OPS, g1, bt),
+        b_g2=_fixed_base(JC.FQ2_OPS, g2, bt),
+        h_g1=_fixed_base(JC.FQ_OPS, g1, h_scalars),
+        l_g1=_fixed_base(JC.FQ_OPS, g1, l_scalars),
+    )
+    ic_dev = _fixed_base(JC.FQ_OPS, g1, ic_scalars)
+    vk = VerifyingKey(
+        alpha_g1=g1 * alpha,
+        beta_g2=g2 * beta,
+        gamma_g2=g2 * gamma,
+        delta_g2=g2 * delta,
+        ic=JC.proj_to_host_points(JC.FQ_OPS, ic_dev),
+    )
+    return pk, vk, qap
+
+
+def prove(pk: ProvingKey, qap: QAP, witness: list, rng, msm_c: int = 8) -> Proof:
+    """Groth16 prover.  witness: full assignment [1, primary..., aux...]."""
+    if not qap.cs.is_satisfied(witness):
+        raise ValueError(f"unsatisfied constraint: {qap.cs.first_unsatisfied(witness)}")
+
+    r = rng.randrange(R)
+    s = rng.randrange(R)
+
+    w_plain = jnp.asarray(ints_to_limbs(witness))
+    w_mont = jnp.asarray(M.encode_ints(FR, witness))
+
+    h_mont = qap.h_coefficients(w_mont)
+    h_plain = M.from_mont(FR, h_mont)[: qap.m - 1]
+
+    ev_a = _single(msm_pow2(JC.FQ_OPS, pk.a_g1, w_plain, msm_c))
+    ev_b1 = _single(msm_pow2(JC.FQ_OPS, pk.b_g1, w_plain, msm_c))
+    ev_b2 = _single(msm_pow2(JC.FQ2_OPS, pk.b_g2, w_plain, msm_c))
+    ev_h = _single(msm_pow2(JC.FQ_OPS, pk.h_g1, h_plain, msm_c))
+    aux_plain = w_plain[pk.num_primary + 1 :]
+    ev_l = _single(msm_pow2(JC.FQ_OPS, pk.l_g1, aux_plain, msm_c))
+
+    a_pt = pk.alpha_g1 + ev_a + pk.delta_g1 * r
+    b2_pt = pk.beta_g2 + ev_b2 + pk.delta_g2 * s
+    b1_pt = pk.beta_g1 + ev_b1 + pk.delta_g1 * s
+    c_pt = ev_l + ev_h + a_pt * s + b1_pt * r - pk.delta_g1 * (r * s % R)
+    return Proof(a=a_pt, b=b2_pt, c=c_pt)
+
+
+def verify(vk: VerifyingKey, primary: list, proof: Proof) -> bool:
+    """Strong-IC verification: primary must have exactly len(ic)-1 values."""
+    if len(primary) != len(vk.ic) - 1:
+        return False
+    vk_x = vk.ic[0]
+    for v, pt in zip(primary, vk.ic[1:]):
+        vk_x = vk_x + pt * (v % R)
+    return pairing_product_is_one(
+        [
+            (-proof.a, proof.b),
+            (vk.alpha_g1, vk.beta_g2),
+            (vk_x, vk.gamma_g2),
+            (proof.c, vk.delta_g2),
+        ]
+    )

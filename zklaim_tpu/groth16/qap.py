@@ -1,0 +1,138 @@
+"""R1CS -> QAP instance/witness maps for Groth16.
+
+TPU-native replacement for libsnark's r1cs_to_qap reductions (reached by
+the reference through r1cs_gg_ppzksnark generator/prover,
+zklaim/snark.cpp:91,126; SURVEY.md §2.6 rows 4-5).
+
+Split of labor:
+  - Instance map (setup-time, one-off): Lagrange evaluations
+    L_j(tau) and the per-wire sums A_i(tau), B_i(tau), C_i(tau) are exact
+    host integer math (batch-inverted denominators); setup cost is
+    dominated by the device fixed-base exponentiations, not this.
+  - Witness map (prover-hot): <A_j, w> per constraint is a sparse COO
+    matvec on device -- mont_mul products, *lazy* u32 segment-sum
+    (safe for <= 2^16 addends per row), one reduce_wide -- followed by
+    the iNTT/coset-NTT pipeline to get H coefficients.
+
+Input-consistency rows (libsnark r1cs_to_qap convention): constraint
+rows n_cons + i enforce "primary wire i appears in A" for
+i = 0..num_primary, which is why the domain holds
+n_cons + num_primary + 1 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ff import montgomery as M
+from ..ff.limbs import ints_to_limbs
+from ..ff.montgomery import FR
+from ..ff.params import R
+from ..ntt.radix2 import NTTDomain, get_domain
+
+
+def _batch_inverse(xs: list, p: int) -> list:
+    """Montgomery's trick: n inversions for one pow + 3n mults."""
+    n = len(xs)
+    prefix = [1] * (n + 1)
+    for i, x in enumerate(xs):
+        prefix[i + 1] = prefix[i] * x % p
+    inv_all = pow(prefix[n], p - 2, p)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % p
+        inv_all = inv_all * xs[i] % p
+    return out
+
+
+class QAP:
+    """Prepared QAP artifacts for a fixed constraint system."""
+
+    def __init__(self, cs):
+        self.cs = cs
+        self.num_vars = cs.num_vars
+        self.num_primary = cs.num_primary
+        self.n_cons = cs.num_constraints
+        rows_needed = self.n_cons + self.num_primary + 1
+        self.m = 1 << (rows_needed - 1).bit_length()
+        self.domain: NTTDomain = get_domain(self.m)
+
+        coo = cs.to_coo()
+        # append input-consistency rows to A: row n_cons + i, wire i, coeff 1
+        a_rows, a_cols, a_coeffs = coo["A"]
+        extra = np.arange(self.num_primary + 1, dtype=np.int32)
+        coo["A"] = (
+            np.concatenate([a_rows, self.n_cons + extra]),
+            np.concatenate([a_cols, extra]),
+            list(a_coeffs) + [1] * (self.num_primary + 1),
+        )
+        self.coo_host = coo
+        self.coo_dev = {
+            name: (
+                jnp.asarray(rows),
+                jnp.asarray(cols),
+                jnp.asarray(M.encode_ints(FR, coeffs)),
+            )
+            for name, (rows, cols, coeffs) in coo.items()
+        }
+
+    # -- instance map (host, setup-time) ----------------------------------
+
+    def lagrange_at(self, tau: int) -> list:
+        """All L_j(tau), j < m: L_j = (tau^m - 1) w^j / (m (tau - w^j))."""
+        m, omega = self.m, self.domain.omega
+        zt = (pow(tau, m, R) - 1) % R
+        if zt == 0:
+            raise ValueError("tau hit the evaluation domain; resample")
+        wj = [1] * m
+        for j in range(1, m):
+            wj[j] = wj[j - 1] * omega % R
+        denoms = [m * (tau - w) % R for w in wj]
+        invs = _batch_inverse(denoms, R)
+        return [zt * w % R * inv % R for w, inv in zip(wj, invs)]
+
+    def eval_at_tau(self, tau: int):
+        """A_i(tau), B_i(tau), C_i(tau) for every wire i; plus Z(tau)."""
+        lag = self.lagrange_at(tau)
+        at = [0] * self.num_vars
+        bt = [0] * self.num_vars
+        ct = [0] * self.num_vars
+        for (rows, cols, coeffs), acc in (
+            (self.coo_host["A"], at),
+            (self.coo_host["B"], bt),
+            (self.coo_host["C"], ct),
+        ):
+            for r_, c_, v in zip(rows, cols, coeffs):
+                acc[c_] = (acc[c_] + v * lag[r_]) % R
+        z_tau = (pow(tau, self.m, R) - 1) % R
+        return at, bt, ct, z_tau
+
+    # -- witness map (device, prover-hot) ---------------------------------
+
+    def constraint_evals(self, w_mont):
+        """<A_j,w>, <B_j,w>, <C_j,w> over the full domain: 3 x (m, 16) mont."""
+        out = []
+        for name in ("A", "B", "C"):
+            rows, cols, coeffs = self.coo_dev[name]
+            prod = M.mont_mul(FR, coeffs, jnp.take(w_mont, cols, axis=0))
+            lazy = jax.ops.segment_sum(prod, rows, num_segments=self.m)
+            out.append(M.reduce_wide(FR, lazy))
+        return tuple(out)
+
+    def h_coefficients(self, w_mont):
+        """H(x) = (A(x)B(x) - C(x)) / Z(x) coefficients, (m, 16) mont.
+
+        The last coefficient is identically zero (deg H = m - 2).
+        """
+        a_ev, b_ev, c_ev = self.constraint_evals(w_mont)
+        dom = self.domain
+        a_cos = dom.coset_ntt(dom.intt(a_ev))
+        b_cos = dom.coset_ntt(dom.intt(b_ev))
+        c_cos = dom.coset_ntt(dom.intt(c_ev))
+        ab = M.mont_mul(FR, a_cos, b_cos)
+        num = M.sub_mod(FR, ab, c_cos)
+        h_cos = M.mont_mul(FR, num, jnp.asarray(dom.z_coset_inv_mont))
+        return dom.coset_intt(h_cos)

@@ -130,6 +130,24 @@ def _weighted_bucket_reduce(f, buckets):
     return total
 
 
+def msm_pow2(f, points, scalars, c: int = 8):
+    """msm() with the point axis padded to the next power of two.
+
+    Shape bucketing: every distinct batch size is a separate XLA compile
+    of the (heavy) window kernel; padding with (infinity, 0-scalar)
+    entries collapses all call sites to log-many shapes.
+    """
+    n = jax.tree.leaves(points)[0].shape[0]
+    n2 = max(2, 1 << (n - 1).bit_length()) if n > 1 else 2
+    if n2 != n:
+        inf = JC.point_infinity(f, (n2 - n,))
+        points = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), points, inf
+        )
+        scalars = jnp.pad(scalars, ((0, n2 - n), (0, 0)))
+    return jax.jit(msm, static_argnums=(0, 3))(f, points, scalars, c)
+
+
 def msm(f, points, scalars, c: int = 8):
     """Multi-scalar multiplication: sum_i scalars[i] * points[i].
 

@@ -125,10 +125,15 @@ class ConstraintSystem:
     def add_hook(self, fn):
         self.hooks.append(fn)
 
-    def generate_witness(self, primary_hint=None) -> list[int]:
-        """Run all hooks in order; returns the full assignment [1, ...]."""
+    def generate_witness(self, init_hook=None) -> list[int]:
+        """Run all hooks in order; returns the full assignment [1, ...].
+
+        init_hook, if given, runs first (sets external inputs).
+        """
         w = [0] * self.num_vars
         w[0] = 1
+        if init_hook is not None:
+            init_hook(w)
         for h in self.hooks:
             h(w)
         return w
