@@ -37,21 +37,21 @@ from ..msm.pippenger import msm_pow2
 from .qap import QAP
 
 
-def _fixed_base(f, gen: CurvePoint, scalars):
-    """Device batched fixed-base multiplication: [s * gen for s in scalars].
+def _fixed_base(f, gen_kind: str, scalars):
+    """Device batched fixed-base multiplication: [s * G for s in scalars].
 
-    Scalar count is padded to a power of two so all call sites share
-    log-many XLA compiles of the 256-step ladder.
+    Uses the precomputed comb table (msm.fixedbase); scalar count is
+    padded to a power of two so call sites share log-many XLA compiles.
     """
+    from ..msm.fixedbase import fixed_base_mul
+
     k = len(scalars)
     if k == 0:
         return JC.point_infinity(f, (0,))
     k2 = max(2, 1 << (k - 1).bit_length())
     padded = [s % R for s in scalars] + [0] * (k2 - k)
-    base = JC.host_points_to_proj(f, [gen])
-    tiled = jax.tree.map(lambda a: jnp.broadcast_to(a, (k2,) + a.shape[1:]), base)
     limbs = jnp.asarray(ints_to_limbs(padded))
-    out = jax.jit(JC.scalar_mul, static_argnums=0)(f, tiled, limbs)
+    out = fixed_base_mul(f, gen_kind, limbs)
     return jax.tree.map(lambda a: a[:k], out)
 
 
@@ -138,13 +138,13 @@ def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
         delta_g1=g1 * delta,
         beta_g2=g2 * beta,
         delta_g2=g2 * delta,
-        a_g1=_fixed_base(JC.FQ_OPS, g1, at),
-        b_g1=_fixed_base(JC.FQ_OPS, g1, bt),
-        b_g2=_fixed_base(JC.FQ2_OPS, g2, bt),
-        h_g1=_fixed_base(JC.FQ_OPS, g1, h_scalars),
-        l_g1=_fixed_base(JC.FQ_OPS, g1, l_scalars),
+        a_g1=_fixed_base(JC.FQ_OPS, "g1", at),
+        b_g1=_fixed_base(JC.FQ_OPS, "g1", bt),
+        b_g2=_fixed_base(JC.FQ2_OPS, "g2", bt),
+        h_g1=_fixed_base(JC.FQ_OPS, "g1", h_scalars),
+        l_g1=_fixed_base(JC.FQ_OPS, "g1", l_scalars),
     )
-    ic_dev = _fixed_base(JC.FQ_OPS, g1, ic_scalars)
+    ic_dev = _fixed_base(JC.FQ_OPS, "g1", ic_scalars)
     vk = VerifyingKey(
         alpha_g1=g1 * alpha,
         beta_g2=g2 * beta,

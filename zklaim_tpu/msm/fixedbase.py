@@ -1,0 +1,95 @@
+"""Fixed-base multi-scalar multiplication via precomputed window tables.
+
+Replaces libff's fixed-base window exponentiation (used throughout the
+reference's Groth16 generator via libsnark; SURVEY.md §2.6 row 3) for
+the setup-time pk/vk table builds: s*G for thousands of scalars s and a
+FIXED generator G.
+
+Method (comb): precompute T[w][d] = d * 2^(cw) * G on the host for all
+windows w < 256/c and digits d < 2^c (one-time, ~8k host point adds,
+~1.5 MiB for G1 at c=8).  Then s*G = sum_w T[w][digit_w(s)]: on device
+this is a fori_loop of 32 gathers + batched complete point-adds -- a
+tiny XLA graph (the naive 256-step double-and-add ladder compiled for
+223 s on the TPU backend and did 16x more field work).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ec import jaxcurve as JC
+from ..ec.hostcurve import CurvePoint, g1_generator, g2_generator
+from ..ff.limbs import LIMB_BITS, NUM_LIMBS
+
+
+class FixedBaseTable:
+    """Per-generator comb table, device-resident."""
+
+    def __init__(self, f, gen: CurvePoint, c: int = 8):
+        if LIMB_BITS % c:
+            raise ValueError("window size must divide 16")
+        self.f = f
+        self.c = c
+        self.windows = 256 // c
+        rows = []
+        base = gen
+        for _ in range(self.windows):
+            row = [CurvePoint.infinity(gen.b)]
+            for _d in range((1 << c) - 1):
+                row.append(row[-1] + base)
+            rows.append(row)
+            base = row[-1] + base           # base * 2^c
+        flat = [p for row in rows for p in row]
+        dev = JC.host_points_to_proj(f, flat)
+        self.table = jax.tree.map(
+            lambda a: a.reshape((self.windows, 1 << c) + a.shape[1:]), dev
+        )
+
+    def mul(self, scalars):
+        """(k, 16) plain u32 limbs -> point batch (k,). Jittable."""
+        c, W = self.c, self.windows
+        per_limb = LIMB_BITS // c
+        mask = (1 << c) - 1
+        digits = jnp.stack(
+            [
+                (scalars[:, w // per_limb] >> (c * (w % per_limb))) & mask
+                for w in range(W)
+            ],
+            axis=0,
+        ).astype(jnp.int32)                  # (W, k)
+
+        table = self.table
+
+        def body(w, acc):
+            t_w = jax.tree.map(
+                lambda a: lax.dynamic_index_in_dim(a, w, 0, keepdims=False), table
+            )
+            d_w = lax.dynamic_index_in_dim(digits, w, 0, keepdims=False)
+            pts = jax.tree.map(lambda a: jnp.take(a, d_w, axis=0), t_w)
+            return JC.point_add(self.f, acc, pts)
+
+        k = scalars.shape[0]
+        init = JC.point_infinity(self.f, (k,))
+        return lax.fori_loop(0, W, body, init)
+
+
+@lru_cache(maxsize=None)
+def g1_table(c: int = 8) -> FixedBaseTable:
+    return FixedBaseTable(JC.FQ_OPS, g1_generator(), c)
+
+
+@lru_cache(maxsize=None)
+def g2_table(c: int = 8) -> FixedBaseTable:
+    return FixedBaseTable(JC.FQ2_OPS, g2_generator(), c)
+
+
+def fixed_base_mul(f, gen_kind: str, scalars_limbs, c: int = 8):
+    """s*G for every row of scalars_limbs; gen_kind in {'g1','g2'}."""
+    table = g1_table(c) if gen_kind == "g1" else g2_table(c)
+    return jax.jit(table.mul)(scalars_limbs)

@@ -100,21 +100,29 @@ class NTTDomain:
         self.z_coset_inv_mont = mont([pow(zg, R - 2, R)])[0]
 
     # -- device transforms ------------------------------------------------
+    #
+    # All transforms act along axis 0 and broadcast over any extra axes
+    # between the transform axis and the trailing limb axis, i.e. input
+    # shape (n, ..., 16) -- the batched form the distributed four-step
+    # NTT needs (parallel/ntt.py).
 
     def _butterflies(self, x, tables):
         n = self.n
+        rest = x.shape[1:-1]
+        ones = (1,) * len(rest)
         for s in range(self.k):
             m = 1 << (s + 1)
             tw = jnp.asarray(tables[s])                      # (m/2, 16)
-            v = x.reshape(n // m, 2, m // 2, NUM_LIMBS)
+            tw = tw.reshape((m // 2,) + ones + (NUM_LIMBS,))
+            v = x.reshape((n // m, 2, m // 2) + rest + (NUM_LIMBS,))
             a, b = v[:, 0], v[:, 1]
             t = M.mont_mul(FR, b, tw)
             x = jnp.stack([M.add_mod(FR, a, t), M.sub_mod(FR, a, t)], axis=1)
-            x = x.reshape(n, NUM_LIMBS)
+            x = x.reshape((n,) + rest + (NUM_LIMBS,))
         return x
 
     def ntt(self, x):
-        """Coefficients -> evaluations on <omega>.  x: (n, 16) mont."""
+        """Coefficients -> evaluations on <omega>.  x: (n, ..., 16) mont."""
         x = jnp.take(x, jnp.asarray(self.bitrev), axis=0)
         return self._butterflies(x, self.stage_tw)
 
@@ -125,15 +133,18 @@ class NTTDomain:
         n_inv = jnp.asarray(self.n_inv_mont)
         return M.mont_mul(FR, out, n_inv)
 
+    def _bshape(self, x):
+        return (self.n,) + (1,) * (x.ndim - 2) + (NUM_LIMBS,)
+
     def coset_ntt(self, x):
         """Coefficients -> evaluations on g·<omega>."""
-        x = M.mont_mul(FR, x, jnp.asarray(self.shift_pows))
+        x = M.mont_mul(FR, x, jnp.asarray(self.shift_pows).reshape(self._bshape(x)))
         return self.ntt(x)
 
     def coset_intt(self, y):
         """Evaluations on g·<omega> -> coefficients."""
         c = self.intt(y)
-        return M.mont_mul(FR, c, jnp.asarray(self.shift_pows_inv))
+        return M.mont_mul(FR, c, jnp.asarray(self.shift_pows_inv).reshape(self._bshape(c)))
 
 
 @lru_cache(maxsize=None)
