@@ -74,6 +74,21 @@ def test_msm_all_zero_scalars():
     assert got == g1_infinity()
 
 
+def test_msm_chunked_path(rng, monkeypatch):
+    """Large-input scan-over-chunks path matches the direct kernel."""
+    monkeypatch.setitem(P.MAX_CHUNK, 1, 16)
+    n = 40  # pads to 48 = 3 chunks of 16
+    gen = g1_generator()
+    points = [gen * rng.randrange(1, R) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    want = host_msm(points, scalars)
+    jac = JC.host_points_to_jac(JC.FQ_OPS, points)
+    limbs = jnp.asarray(ints_to_limbs(scalars))
+    out = P.msm_pow2(JC.FQ_OPS, jac, limbs, 4)
+    got = JC.jac_to_host_points(JC.FQ_OPS, jax.tree.map(lambda a: a[None], out))[0]
+    assert got == want
+
+
 def test_scalar_mul_batched(rng):
     gen = g1_generator()
     points = [gen * k for k in (1, 2, 3, 4)]

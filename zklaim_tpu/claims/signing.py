@@ -104,12 +104,23 @@ def _digest_int(msg: bytes) -> int:
 
 
 def sign(msg: bytes, priv_buf: bytes, rng=None) -> bytes:
-    """64-byte r||s signature over SHA256(msg)."""
-    d = int.from_bytes(priv_buf[32:], "big")
-    h = _digest_int(msg) % L
+    """64-byte r||s signature over SHA256(msg).
+
+    Routed through the native C++ library when built (same math,
+    bit-identical output for the same nonce; tests/test_native.py).
+    """
+    from ..utils import native
+
     while True:
         k = (rng.randrange(1, L) if rng is not None else
              secrets.randbelow(L - 1) + 1)
+        if native.available():
+            out = native.ecdsa_sign(msg, priv_buf, k.to_bytes(32, "big"))
+            if out is not None:
+                return out
+            continue
+        d = int.from_bytes(priv_buf[32:], "big")
+        h = _digest_int(msg) % L
         r = _mul(k, G)[0] % L
         if r == 0:
             continue
@@ -123,6 +134,10 @@ def verify(msg: bytes, sig_buf: bytes, pub_buf: bytes) -> bool:
     """Check an r||s signature against a 32-byte compressed public key."""
     if len(sig_buf) != 64:
         return False
+    from ..utils import native
+
+    if native.available():
+        return native.ecdsa_verify(msg, sig_buf, pub_buf)
     q = point_decompress(pub_buf)
     if q is None:
         return False

@@ -130,22 +130,46 @@ def _weighted_bucket_reduce(f, buckets):
     return total
 
 
-def msm_pow2(f, points, scalars, c: int = 8):
-    """msm() with the point axis padded to the next power of two.
+# Max point-axis batch per compiled window kernel.  Two reasons:
+#   1. device limits: the G2 window kernel crashes the TPU ("kernel
+#      fault") at batch 2^15; 2^14 is stable.  G1 is stable at 2^15.
+#   2. shape bucketing: any larger MSM runs as a lax.scan over fixed
+#      chunks, so arbitrarily sized inputs share ONE compiled kernel.
+MAX_CHUNK = {1: 1 << 15, 2: 1 << 14}
 
-    Shape bucketing: every distinct batch size is a separate XLA compile
-    of the (heavy) window kernel; padding with (infinity, 0-scalar)
-    entries collapses all call sites to log-many shapes.
-    """
+
+def _msm_chunked(f, pts_c, sc_c, c):
+    """Scan msm over (k, chunk, ...) stacked chunks, summing partials."""
+
+    def body(acc, xs):
+        pts, sc = xs
+        part = msm(f, pts, sc, c)
+        return JC.point_add(f, acc, part), None
+
+    acc, _ = lax.scan(body, JC.point_infinity(f), (pts_c, sc_c))
+    return acc
+
+
+def msm_pow2(f, points, scalars, c: int = 8):
+    """msm() with the point axis padded to a power of two and large
+    inputs split into fixed-size chunks (see MAX_CHUNK)."""
     n = jax.tree.leaves(points)[0].shape[0]
     n2 = max(2, 1 << (n - 1).bit_length()) if n > 1 else 2
+    chunk = MAX_CHUNK[f.deg]
+    if n2 > chunk:
+        n2 = ((n + chunk - 1) // chunk) * chunk
     if n2 != n:
         inf = JC.point_infinity(f, (n2 - n,))
         points = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), points, inf
         )
         scalars = jnp.pad(scalars, ((0, n2 - n), (0, 0)))
-    return jax.jit(msm, static_argnums=(0, 3))(f, points, scalars, c)
+    if n2 <= chunk:
+        return jax.jit(msm, static_argnums=(0, 3))(f, points, scalars, c)
+    k = n2 // chunk
+    pts_c = jax.tree.map(lambda a: a.reshape((k, chunk) + a.shape[1:]), points)
+    sc_c = scalars.reshape(k, chunk, scalars.shape[-1])
+    return jax.jit(_msm_chunked, static_argnums=(0, 3))(f, pts_c, sc_c, c)
 
 
 def msm(f, points, scalars, c: int = 8):
