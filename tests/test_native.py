@@ -12,7 +12,9 @@ pytestmark = pytest.mark.skipif(
     not native.available(), reason="native library not built (make -C native)"
 )
 
-FIX = "/root/reference/zklaim/tests"
+import os
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 @pytest.mark.parametrize("n", [0, 1, 47, 48, 55, 56, 63, 64, 65, 1000])

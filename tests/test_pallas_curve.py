@@ -1,0 +1,66 @@
+"""Fused Pallas point ops == XLA point ops, bit-exact (interpret on CPU)."""
+
+import random
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zklaim_tpu.ec import jaxcurve as JC
+from zklaim_tpu.ec import pallas_curve as PC
+from zklaim_tpu.ec.hostcurve import g1_generator, g2_generator
+from zklaim_tpu.ff.params import R
+
+
+def _rand_points(rng, gen, n):
+    return [gen * rng.randrange(1, R) for _ in range(n)]
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_pallas_add_matches_xla(rng, group):
+    f = JC.FQ_OPS if group == "g1" else JC.FQ2_OPS
+    gen = g1_generator() if group == "g1" else g2_generator()
+    n = 8
+    p_host = _rand_points(rng, gen, n)
+    q_host = _rand_points(rng, gen, n)
+    # edge cases: P + inf, inf + Q, P + P, P + (-P)
+    p_host[0] = gen * 0
+    q_host[1] = gen * 0
+    q_host[2] = p_host[2]
+    q_host[3] = -p_host[3]
+    p = JC.host_points_to_proj(f, p_host)
+    q = JC.host_points_to_proj(f, q_host)
+
+    expect = jax.jit(JC.point_add, static_argnums=0)(f, p, q)
+    got = PC.point_add(f, p, q)
+    for e, g in zip(expect, got):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
+
+
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_pallas_double_matches_xla(rng, group):
+    f = JC.FQ_OPS if group == "g1" else JC.FQ2_OPS
+    gen = g1_generator() if group == "g1" else g2_generator()
+    p_host = _rand_points(rng, gen, 6)
+    p_host[0] = gen * 0                      # double(inf)
+    p = JC.host_points_to_proj(f, p_host)
+
+    expect = jax.jit(JC.point_double, static_argnums=0)(f, p)
+    got = PC.point_double(f, p)
+    for e, g in zip(expect, got):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
+
+
+def test_pallas_add_nonaligned_batch(rng):
+    """Batch sizes that need lane padding (not multiples of 128)."""
+    f = JC.FQ_OPS
+    gen = g1_generator()
+    for n in (1, 3, 130):
+        p = JC.host_points_to_proj(f, _rand_points(rng, gen, n))
+        q = JC.host_points_to_proj(f, _rand_points(rng, gen, n))
+        expect = jax.jit(JC.point_add, static_argnums=0)(f, p, q)
+        got = PC.point_add(f, p, q)
+        for e, g in zip(expect, got):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(g))

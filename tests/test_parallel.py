@@ -14,6 +14,11 @@ from zklaim_tpu.msm.pippenger import msm
 from zklaim_tpu.parallel.mesh import make_mesh
 from zklaim_tpu.parallel.msm import sharded_msm
 
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device virtual CPU mesh (default test platform)",
+)
+
 
 def test_mesh_has_8_virtual_devices():
     assert len(jax.devices()) == 8

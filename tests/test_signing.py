@@ -6,7 +6,9 @@ import pytest
 
 from zklaim_tpu.claims import signing as S
 
-FIX = "/root/reference/zklaim/tests"
+import os
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 @pytest.fixture(scope="module")

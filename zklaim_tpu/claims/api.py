@@ -172,6 +172,19 @@ class Context:
         self._circuit_cache = {}
         self._pk_cache = None
 
+    def __deepcopy__(self, memo):
+        """Deep-copy wire state; share the immutable circuit/pk caches
+        (a built ZKlaimCircuit/ProvingKey is never mutated)."""
+        import copy as _copy
+
+        new = Context.__new__(Context)
+        new.payloads = _copy.deepcopy(self.payloads, memo)
+        new.pk, new.vk, new.proof = self.pk, self.vk, self.proof
+        new.pub_key, new.signature = self.pub_key, self.signature
+        new._circuit_cache = self._circuit_cache
+        new._pk_cache = self._pk_cache
+        return new
+
     # -- payloads ---------------------------------------------------------
 
     def add_payload(self, pl: Payload) -> None:
@@ -223,7 +236,7 @@ class Context:
         pk, vk, qap = setup(circuit.cs, rng)
         self.pk = serde.pk_to_bytes(pk, self.num_payloads)
         self.vk = serde.vk_to_bytes(vk)
-        self._pk_cache = (self.pk, pk, qap)
+        self._pk_cache = (self.pk, self.num_payloads, pk, qap)
         return ZKLAIM_OK
 
     def proof_generate(self, rng=None) -> int:
@@ -236,14 +249,18 @@ class Context:
 
         rng = rng if rng is not None else random.SystemRandom()
         circuit = self._circuit()
-        if self._pk_cache is not None and self._pk_cache[0] == self.pk:
-            _, pk, qap = self._pk_cache
+        if (
+            self._pk_cache is not None
+            and self._pk_cache[0] == self.pk
+            and self._pk_cache[1] == self.num_payloads
+        ):
+            _, _, pk, qap = self._pk_cache
         else:
             pk, n_pl = serde.pk_from_bytes(self.pk)
             if n_pl != self.num_payloads:
                 return ZKLAIM_ERROR
             qap = QAP(circuit.cs)
-            self._pk_cache = (self.pk, pk, qap)
+            self._pk_cache = (self.pk, self.num_payloads, pk, qap)
         inputs = [
             (pl.pre, pl.data_ref, pl.op_positions()) for pl in self.payloads
         ]

@@ -75,7 +75,9 @@ def g1_batch_from_bytes(raw: bytes, n: int):
     x = be_bytes_to_limbs(arr[:, :32])
     y = be_bytes_to_limbs(arr[:, 32:])
     inf = ~np.logical_or(x.any(axis=-1), y.any(axis=-1))
-    return JC.affine_limbs_to_proj(JC.FQ_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
+    return jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
+        JC.FQ_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)
+    )
 
 
 def g2_batch_from_bytes(raw: bytes, n: int):
@@ -83,7 +85,9 @@ def g2_batch_from_bytes(raw: bytes, n: int):
     x = be_bytes_to_limbs(arr[:, :64].reshape(n, 2, 32))
     y = be_bytes_to_limbs(arr[:, 64:].reshape(n, 2, 32))
     inf = ~np.logical_or(x.any(axis=(-1, -2)), y.any(axis=(-1, -2)))
-    return JC.affine_limbs_to_proj(JC.FQ2_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
+    return jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
+        JC.FQ2_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)
+    )
 
 
 # -- host CurvePoint <-> bytes (single points) ------------------------------

@@ -155,6 +155,26 @@ def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
     return pk, vk, qap
 
 
+def h_pipeline(qap: QAP):
+    """ONE jitted program for witness map -> NTT -> plain H coefficients.
+
+    Eager per-op dispatch is poison here: on the tunneled TPU backend an
+    un-jitted h_coefficients costs ~700 s of RPC round-trips for ~40 ms
+    of device work.  Memoized on the QAP.  The MSMs stay as separate
+    msm_pow2 programs on purpose: a/b1/h/l share one compiled kernel
+    (same shapes), which a fused mega-jit would forfeit.
+    """
+    fn = getattr(qap, "_h_fn", None)
+    if fn is None:
+
+        def run(w_mont):
+            h_mont = qap.h_coefficients(w_mont)
+            return M.from_mont(FR, h_mont)[: qap.m - 1]
+
+        fn = qap._h_fn = jax.jit(run)
+    return fn
+
+
 def prove(pk: ProvingKey, qap: QAP, witness: list, rng, msm_c: int = 8) -> Proof:
     """Groth16 prover.  witness: full assignment [1, primary..., aux...]."""
     if not qap.cs.is_satisfied(witness):
@@ -166,8 +186,7 @@ def prove(pk: ProvingKey, qap: QAP, witness: list, rng, msm_c: int = 8) -> Proof
     w_plain = jnp.asarray(ints_to_limbs(witness))
     w_mont = jnp.asarray(M.encode_ints(FR, witness))
 
-    h_mont = qap.h_coefficients(w_mont)
-    h_plain = M.from_mont(FR, h_mont)[: qap.m - 1]
+    h_plain = h_pipeline(qap)(w_mont)
 
     ev_a = _single(msm_pow2(JC.FQ_OPS, pk.a_g1, w_plain, msm_c))
     ev_b1 = _single(msm_pow2(JC.FQ_OPS, pk.b_g1, w_plain, msm_c))

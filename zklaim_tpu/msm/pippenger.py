@@ -165,11 +165,11 @@ def msm_pow2(f, points, scalars, c: int = 8):
         )
         scalars = jnp.pad(scalars, ((0, n2 - n), (0, 0)))
     if n2 <= chunk:
-        return jax.jit(msm, static_argnums=(0, 3))(f, points, scalars, c)
+        return _msm_jit(f, points, scalars, c)
     k = n2 // chunk
     pts_c = jax.tree.map(lambda a: a.reshape((k, chunk) + a.shape[1:]), points)
     sc_c = scalars.reshape(k, chunk, scalars.shape[-1])
-    return jax.jit(_msm_chunked, static_argnums=(0, 3))(f, pts_c, sc_c, c)
+    return _msm_chunked_jit(f, pts_c, sc_c, c)
 
 
 def msm(f, points, scalars, c: int = 8):
@@ -210,3 +210,10 @@ def msm(f, points, scalars, c: int = 8):
 
     init = JC.point_infinity(f)
     return lax.fori_loop(0, W, horner, init)
+
+
+# Module-level jit wrappers: a fresh jax.jit() per call would re-trace the
+# (large) windowed graph on every invocation even when the compiled
+# executable is cached persistently.
+_msm_jit = jax.jit(msm, static_argnums=(0, 3))
+_msm_chunked_jit = jax.jit(_msm_chunked, static_argnums=(0, 3))
