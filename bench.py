@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_msm(log2n: int = 16, c: int = 16, runs: int = 3):
+def bench_msm(log2n: int = 16, c: int = 8, runs: int = 3):
     import numpy as np
 
     from zklaim_tpu.ec import jaxcurve as JC
@@ -50,12 +50,16 @@ def bench_msm(log2n: int = 16, c: int = 16, runs: int = 3):
     prng = _random.Random(20260817)
     scalars = jnp.asarray(ints_to_limbs([prng.randrange(R) for _ in range(n)]))
 
+    # Timing note: on the tunneled TPU backend block_until_ready can return
+    # before the device finishes; np.asarray of the (tiny) result forces a
+    # real device->host sync, so samples include one honest RPC round trip.
     run = jax.jit(msm, static_argnums=(0, 3))
-    out = jax.block_until_ready(run(JC.FQ_OPS, points, scalars, c))  # warmup/compile
+    np.asarray(run(JC.FQ_OPS, points, scalars, c)[0])     # warmup/compile
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run(JC.FQ_OPS, points, scalars, c))
+        out = run(JC.FQ_OPS, points, scalars, c)
+        np.asarray(out[0])                                # forced sync
         best = min(best, time.perf_counter() - t0)
     return {
         "metric": f"g1_msm_2^{log2n}_points_per_sec",

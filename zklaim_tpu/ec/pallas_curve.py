@@ -298,7 +298,12 @@ def _lane_count(fops, aos_coord):
 
 
 def _padded_lanes(n: int) -> int:
-    """Round up to a 128 multiple, then to a LANES multiple when tiling."""
+    """Round up to a 128 multiple, then to a LANES multiple when tiling.
+
+    Interpret mode (CPU tests) has no lane-tiling constraint; padding
+    there only multiplies the simulation cost, so skip it."""
+    if _interpret():
+        return n
     n_pad = max(128, -(-n // 128) * 128)
     if n_pad > LANES:
         n_pad = -(-n_pad // LANES) * LANES

@@ -4,33 +4,47 @@ TPU-native replacement for libsnark/libff's multi_exp (reference reaches
 it inside r1cs_gg_ppzksnark generator/prover; SURVEY.md §2.6 row 3, OpenMP
 `MULTICORE` flag reference CMakeLists.txt:35-39).
 
-Vectorization strategy (XLA static shapes; no data-dependent scatters):
+Vectorization strategy (XLA static shapes; no data-dependent scatters,
+and -- critically for TPU -- NO sequential scalar point ops anywhere in
+the per-window path):
+
   - Scalars are split into W = 256/c signed c-bit digits (window size
-    c ∈ {4, 8, 16} so digits slice cleanly out of 16-bit limbs).  Signed
-    digits halve the bucket count: B = 2^(c-1).
+    c | 16 so digits slice cleanly out of 16-bit limbs).  Signed digits
+    halve the bucket count: B = 2^(c-1).
   - One `lax.scan` over windows compiles the window body once.  Per
     window:
       1. points are sign-adjusted (negate y where digit < 0; infinity
          where digit == 0) -- pure elementwise masks;
       2. `lax.sort_key_val` groups equal digits;
-      3. bucket sums = segmented inclusive scan (Hillis-Steele): log2(N)
-         rounds, each ONE batched unified point-add over all N lanes --
-         the branchless add from ec.jaxcurve is safe as a combiner;
-      4. per-bucket tails are gathered with a static `searchsorted`;
-      5. the weighted bucket reduction sum_b b*S_b uses the suffix-sum
-         identity: T_j = sum_{b>=j} S_b, answer = sum_j T_j -- one
-         reversed `associative_scan` plus a log2(B) tree reduction.
-  - Windows are combined MSB-first by a Horner ladder (c doublings + one
-    add per window) in a `fori_loop`.
+      3. an UNSEGMENTED inclusive prefix scan P of the sorted points
+         (Hillis-Steele: log2(N) rounds, each ONE batched complete
+         point-add over all N lanes);
+      4. the weighted bucket total sum_b b*S_b collapses by Abel
+         summation:  with X_b = P[tail(b)] (prefix through the last
+         element of bucket b; X_b = X_{b-1} for empty buckets and
+         X_B = P[N-1]),
 
-Cost model: the segmented scan does N*log2(N) point-adds per window
-(vs N for a scalar-CPU Pippenger) but every add runs at full vector
-width; wall time is bandwidth/VPU-bound, not dispatch-bound.  A
-work-efficient Pallas bucket kernel is the planned upgrade path.
+            sum_{b=1..B} b * (X_b - X_{b-1})  =  B*X_B - sum_{b<B} X_b.
+
+         Group subtraction is one negation, so the whole bucket phase is
+         a static `searchsorted` gather of B points plus a log2(B)
+         halving-tree reduction -- all full-width batched adds, zero
+         sequential scalar work.
+  - B*X_B for all windows at once: (c-1) batched doublings of the (W,)
+    window prefix-totals after the scan.
+  - Windows are combined MSB-first by a Horner ladder (c doublings + one
+    add per window) in a `fori_loop` -- the only remaining sequential
+    scalar point ops (256 doublings, inherent to the radix ladder).
+
+Cost model: ~N*log2(N) point-add lanes per window for the prefix scan
+(every add at full vector width) + ~B lanes for the bucket tree.  The
+previous design additionally ran 2B SEQUENTIAL scalar point-adds per
+window (bucket reduction fori_loop) which dominated wall time ~10:1 on
+real hardware; Abel summation removes that term entirely.
 
 Multi-chip: shard the point axis; each chip runs this kernel on its
-slice and the (tiny) per-window bucket sums are combined with psum --
-see parallel/ for the shard_map wrapper.
+slice and the per-chip partial results are combined with one
+all-gather + fold -- see parallel/ for the shard_map wrapper.
 """
 
 from __future__ import annotations
@@ -74,65 +88,48 @@ def signed_digits(scalars, c: int):
     return jnp.stack(out, axis=0)
 
 
-def _segmented_bucket_sums(f, keys, pts, n_buckets: int):
-    """Sorted-key segmented reduction -> (n_buckets,) bucket points.
+def _prefix_scan_points(f, pts, n: int):
+    """Unsegmented inclusive prefix sum of a (n, ...) point batch.
 
-    keys: (N,) int32 sorted ascending, 0 = "no contribution".
-    pts:  jac pytree batched (N, ...).
-    Bucket j (j = 1..n_buckets) receives the sum of points with key j.
-    """
-    n = keys.shape[0]
+    Hillis-Steele with a jnp.roll shift: log2(n) rounds, ONE point_add
+    instantiation reused by the fori_loop (compile-time lean)."""
     logn = max(1, (n - 1).bit_length())
     idx = jnp.arange(n)
 
     def body(t, p):
         d = jnp.int32(1) << t
         shifted = jax.tree.map(lambda a: jnp.roll(a, d, axis=0), p)
-        same = jnp.roll(keys, d) == keys
-        valid = jnp.logical_and(idx >= d, same)
+        valid = idx >= d
         combined = JC.point_add(f, p, shifted)
         return JC.point_select(f, valid, combined, p)
 
-    scanned = lax.fori_loop(0, logn, body, pts)
-
-    bucket_vals = jnp.arange(1, n_buckets + 1, dtype=keys.dtype)
-    pos = jnp.searchsorted(keys, bucket_vals, side="right") - 1
-    pos_c = jnp.clip(pos, 0, n - 1)
-    tails = jax.tree.map(lambda a: jnp.take(a, pos_c, axis=0), scanned)
-    has = jnp.logical_and(pos >= 0, jnp.take(keys, pos_c) == bucket_vals)
-    inf = JC.point_infinity(f, (n_buckets,))
-    return JC.point_select(f, has, tails, inf)
+    return lax.fori_loop(0, logn, body, pts)
 
 
-def _weighted_bucket_reduce(f, buckets):
-    """sum_b (b+1) * buckets[b] by the classic descending running sum.
+def _tree_sum(f, pts, width: int):
+    """Sum a (width, ...) point batch; width must be a power of two.
 
-    running += bucket[b]; total += running  (b = B-1 .. 0) gives
-    total = sum_b (b+1)*bucket[b].  A fori_loop keeps the compiled graph
-    at exactly TWO point-add instantiations -- compile time, not runtime,
-    is the scarce resource for these wide-limb kernels (a log-depth
-    suffix scan instantiates ~log B adds and blows up XLA compile).
-    """
-    B = jax.tree.leaves(buckets)[0].shape[0]
+    log2(width) halving point-adds (each a separate, shrinking-width
+    instantiation -- widths differ so a fori_loop cannot apply)."""
+    while width > 1:
+        half = width // 2
+        lo = jax.tree.map(lambda a: a[:half], pts)
+        hi = jax.tree.map(lambda a: a[half:], pts)
+        pts = JC.point_add(f, lo, hi)
+        width = half
+    return jax.tree.map(lambda a: a[0], pts)
 
-    def body(i, carry):
-        running, total = carry
-        pt = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, B - 1 - i, 0, keepdims=False),
-            buckets,
-        )
-        running = JC.point_add(f, running, pt)
-        total = JC.point_add(f, total, running)
-        return running, total
 
-    init = (JC.point_infinity(f), JC.point_infinity(f))
-    _, total = lax.fori_loop(0, B, body, init)
-    return total
+def _dbl_k(f, p, k: int):
+    """k batched doublings (fori_loop: one instantiation)."""
+    if k == 0:
+        return p
+    return lax.fori_loop(0, k, lambda i, a: JC.point_double(f, a), p)
 
 
 # Max point-axis batch per compiled window kernel.  Two reasons:
-#   1. device limits: the G2 window kernel crashes the TPU ("kernel
-#      fault") at batch 2^15; 2^14 is stable.  G1 is stable at 2^15.
+#   1. device limits: very wide G2 window kernels have hit TPU "kernel
+#      fault" crashes at batch 2^15; 2^14 is stable.  G1 is stable at 2^15.
 #   2. shape bucketing: any larger MSM runs as a lax.scan over fixed
 #      chunks, so arbitrarily sized inputs share ONE compiled kernel.
 MAX_CHUNK = {1: 1 << 15, 2: 1 << 14}
@@ -176,13 +173,15 @@ def msm(f, points, scalars, c: int = 8):
     """Multi-scalar multiplication: sum_i scalars[i] * points[i].
 
     f: JC.FQ_OPS (G1) or JC.FQ2_OPS (G2) -- pass statically under jit.
-    points: Jacobian pytree, batch (N,).
+    points: projective pytree, batch (N,).
     scalars: (N, 16) u32 plain-domain (NOT Montgomery) Fr limbs.
-    Returns a Jacobian point pytree with scalar batch shape ().
+    Returns a projective point pytree with scalar batch shape ().
     """
     n = jax.tree.leaves(points)[0].shape[0]
     digits = signed_digits(scalars, c)                     # (W, N)
-    n_buckets = 1 << (c - 1)
+    W = digits.shape[0]
+    B = 1 << (c - 1)
+    bucket_vals = jnp.arange(0, B + 1, dtype=jnp.int32)    # tails of b = 0..B
 
     def window_body(carry, d_w):
         mag = jnp.abs(d_w)
@@ -194,18 +193,25 @@ def msm(f, points, scalars, c: int = 8):
         z = f.select(mag == 0, zeros, z)
         keys, order = lax.sort_key_val(mag, jnp.arange(n, dtype=jnp.int32))
         pts = jax.tree.map(lambda a: jnp.take(a, order, axis=0), (x, y, z))
-        buckets = _segmented_bucket_sums(f, keys, pts, n_buckets)
-        return carry, _weighted_bucket_reduce(f, buckets)
+        prefix = _prefix_scan_points(f, pts, n)
+        # X_b = prefix at the last element with key <= b (identity if none)
+        u = jnp.searchsorted(keys, bucket_vals, side="right") - 1   # (B+1,)
+        xb = jax.tree.map(lambda a: jnp.take(a, jnp.clip(u, 0, n - 1), axis=0), prefix)
+        xb = JC.point_select(f, u >= 0, xb, JC.point_infinity(f, (B + 1,)))
+        # Abel summation: window total = B*X_B - sum_{b=0..B-1} X_b
+        head = _tree_sum(f, jax.tree.map(lambda a: a[:B], xb), B)
+        total = jax.tree.map(lambda a: a[B], xb)                    # X_B
+        return carry, (total, head)
 
-    _, window_pts = lax.scan(window_body, None, digits)    # (W, ...)
-    W = digits.shape[0]
+    _, (tot_w, head_w) = lax.scan(window_body, None, digits)   # (W, ...) each
+    window_pts = JC.point_add(f, _dbl_k(f, tot_w, c - 1), JC.point_neg(f, head_w))
 
     def horner(w, acc):
-        def dbl(_, a):
-            return JC.point_double(f, a)
-
-        acc = lax.fori_loop(0, c, dbl, acc)
-        pw = jax.tree.map(lambda a: lax.dynamic_index_in_dim(a, W - 1 - w, 0, keepdims=False), window_pts)
+        acc = _dbl_k(f, acc, c)
+        pw = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, W - 1 - w, 0, keepdims=False),
+            window_pts,
+        )
         return JC.point_add(f, acc, pw)
 
     init = JC.point_infinity(f)
