@@ -98,3 +98,18 @@ def test_scalar_mul_batched(rng):
     limbs = jnp.asarray(ints_to_limbs(scalars))
     out = jax.jit(JC.scalar_mul, static_argnums=0)(JC.FQ_OPS, jac, limbs)
     assert JC.jac_to_host_points(JC.FQ_OPS, out) == want
+
+
+def test_msm_pallas_path_matches(rng, monkeypatch):
+    """The fused Pallas scan path (interpret mode on CPU) == XLA path."""
+    monkeypatch.setenv("ZKLAIM_MSM_PALLAS", "1")
+    n = 16
+    gen = g1_generator()
+    points = [gen * rng.randrange(1, R) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n - 2)] + [0, 1]
+    want = host_msm(points, scalars)
+    jac = JC.host_points_to_jac(JC.FQ_OPS, points)
+    limbs = jnp.asarray(ints_to_limbs(scalars))
+    out = jax.jit(P.msm, static_argnums=(0, 3))(JC.FQ_OPS, jac, limbs, 8)
+    got = JC.jac_to_host_points(JC.FQ_OPS, jax.tree.map(lambda a: a[None], out))[0]
+    assert got == want

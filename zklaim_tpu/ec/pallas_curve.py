@@ -310,6 +310,83 @@ def _padded_lanes(n: int) -> int:
     return n_pad
 
 
+# ---------------------------------------------------------------------------
+# SoA masked add: the MSM prefix-scan round (select(mask, p+q, p))
+# ---------------------------------------------------------------------------
+
+# Lane tile for the scan-round kernel.  Bounded by the 16 MiB scoped-VMEM
+# limit: the fused add needs ~1.3 KiB VMEM per G1 lane (measured: 43 MiB
+# at 2^15 lanes), ~2.6 KiB per G2 lane.
+SCAN_TILE = {1: 4096, 2: 2048}
+
+
+def _masked_add_kernel(fdeg, *refs):
+    n_const = 2 if fdeg == 1 else 3
+    f = _field(fdeg, refs[:n_const])
+    m_ref, x1, y1, z1, x2, y2, z2, xo, yo, zo = refs[n_const:]
+    p = (x1[:], y1[:], z1[:])
+    r = _rcb_add(f, p, (x2[:], y2[:], z2[:]))
+    m = m_ref[:] != 0                       # (1, tile)
+    if fdeg == 2:
+        m = m[None]                          # broadcast over the tower axis
+    xo[:] = jnp.where(m, r[0], p[0])
+    yo[:] = jnp.where(m, r[1], p[1])
+    zo[:] = jnp.where(m, r[2], p[2])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _masked_add_soa(fdeg, n, mask, *coords):
+    """select(mask, p + q, p) on SoA coords; mask (1, n) int32.
+
+    coords: x1,y1,z1,x2,y2,z2 each (16, n) [G1] or (2, 16, n) [G2]."""
+    tile = min(SCAN_TILE[fdeg], n)
+    grid = (n // tile,)
+    spec = pl.BlockSpec(
+        _block_shape(fdeg, tile), _index_map(fdeg), memory_space=pltpu.VMEM
+    )
+    mspec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(_block_shape(fdeg, n), jnp.uint32)
+        for _ in range(3)
+    )
+    consts, const_specs = _const_operands(fdeg)
+    return pl.pallas_call(
+        functools.partial(_masked_add_kernel, fdeg),
+        grid=grid,
+        in_specs=const_specs + [mspec] + [spec] * 6,
+        out_specs=(spec,) * 3,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*consts, mask, *coords)
+
+
+def to_soa(fops, pt):
+    """AoS point pytree (N, 16)/(N, 2, 16) -> SoA (16, N)/(2, 16, N)."""
+    return tuple(_soa(fops, c) for c in pt)
+
+
+def from_soa(fops, pt):
+    return tuple(_aos(fops, c) for c in pt)
+
+
+def prefix_scan_soa(fops, pt, n: int):
+    """Unsegmented inclusive prefix sum over the lane axis of SoA points.
+
+    Hillis-Steele, statically unrolled: log2(n) fused masked-add rounds;
+    the shift is an XLA lane-roll between kernels (traffic-trivial next
+    to the adds).  Bit-identical to jaxcurve point_add folds."""
+    logn = max(1, (n - 1).bit_length())
+    lane_axis = 1 if fops.deg == 1 else 2
+    idx = jnp.arange(n)
+    for t in range(logn):
+        d = 1 << t
+        mask = (idx >= d).astype(jnp.uint32)[None, :]
+        shifted = tuple(jnp.roll(c, d, axis=lane_axis) for c in pt)
+        out = _masked_add_soa(fops.deg, n, mask, *pt, *shifted)
+        pt = out
+    return pt
+
+
 def point_add(fops, p, q):
     """Fused complete add; drop-in for jaxcurve.point_add on (N,)-batched
     pytrees.  fops: jaxcurve.FQ_OPS or FQ2_OPS."""
