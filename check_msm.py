@@ -37,7 +37,7 @@ for c in (8,):
         host = np.asarray(out[0])   # force real transfer
         t2 = time.perf_counter()
         ts(f"c={c} run{i}: block_until_ready={1e3*(t1-t0):.2f}ms  +to_host={1e3*(t2-t1):.2f}ms")
-    total = sum(s * (i + 2) for i, s in enumerate(scalars_int)) % R
+    total = sum(s * (i + 1) for i, s in enumerate(scalars_int)) % R
     exp = g1_generator() * total
     got = JC.proj_to_host_points(JC.FQ_OPS, jax.tree.map(lambda a: a[None], out))[0]
     ts(f"c={c} correct: {got == exp}")

@@ -36,6 +36,15 @@ from .jaxcurve import FQ_OPS
 
 LANES = 512          # lane-axis tile; multiple of 128
 
+# The fused add chains ~14 Montgomery multiplies whose limb intermediates
+# all live on the kernel stack; at the default 16 MiB scoped-VMEM budget the
+# compiler OOMs around 3.5k G1 lanes.  v5e/v6 chips have 128 MiB of VMEM, so
+# raise the per-kernel budget and let the grid pipeline the rest.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel",), vmem_limit_bytes=_VMEM_LIMIT
+)
+
 
 def _interpret() -> bool:
     """Mosaic only targets real TPUs; interpret elsewhere (CPU tests)."""
@@ -260,6 +269,7 @@ def _padd_soa(fdeg, n, *coords):
         in_specs=const_specs + [spec] * 6,
         out_specs=(spec,) * 3,
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*consts, *coords)
 
@@ -282,6 +292,7 @@ def _pdouble_soa(fdeg, n, *coords):
         in_specs=const_specs + [spec] * 3,
         out_specs=(spec,) * 3,
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*consts, *coords)
 
@@ -356,6 +367,7 @@ def _masked_add_soa(fdeg, n, mask, *coords):
         in_specs=const_specs + [mspec] + [spec] * 6,
         out_specs=(spec,) * 3,
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*consts, mask, *coords)
 

@@ -16,31 +16,32 @@ the per-window path):
       1. points are sign-adjusted (negate y where digit < 0; infinity
          where digit == 0) -- pure elementwise masks;
       2. `lax.sort_key_val` groups equal digits;
-      3. an UNSEGMENTED inclusive prefix scan P of the sorted points
-         (Hillis-Steele: log2(N) rounds, each ONE batched complete
-         point-add over all N lanes);
-      4. the weighted bucket total sum_b b*S_b collapses by Abel
-         summation:  with X_b = P[tail(b)] (prefix through the last
-         element of bucket b; X_b = X_{b-1} for empty buckets and
-         X_B = P[N-1]),
+      3. a binary UPSWEEP tree over the sorted points: level t holds
+         aligned block sums of 2^t points (log2(N) batched adds of
+         halving width, ~N lane-adds total);
+      4. inclusive prefixes are materialized ONLY at the B+1 bucket-tail
+         positions (each prefix = sum of the <= log2(N) aligned blocks
+         named by the set bits of its length -- `_tail_prefix`);
+      5. the weighted bucket total sum_b b*S_b collapses by Abel
+         summation:  with X_b = prefix through the last element of
+         bucket b (X_b = X_{b-1} for empty buckets, X_B = full sum),
 
             sum_{b=1..B} b * (X_b - X_{b-1})  =  B*X_B - sum_{b<B} X_b.
 
-         Group subtraction is one negation, so the whole bucket phase is
-         a static `searchsorted` gather of B points plus a log2(B)
-         halving-tree reduction -- all full-width batched adds, zero
-         sequential scalar work.
+         Group subtraction is one negation, so the bucket phase needs
+         only a log2(B) halving-tree reduction on top of the tails --
+         all batched adds, zero sequential scalar work.
   - B*X_B for all windows at once: (c-1) batched doublings of the (W,)
     window prefix-totals after the scan.
   - Windows are combined MSB-first by a Horner ladder (c doublings + one
     add per window) in a `fori_loop` -- the only remaining sequential
     scalar point ops (256 doublings, inherent to the radix ladder).
 
-Cost model: ~N*log2(N) point-add lanes per window for the prefix scan
-(every add at full vector width) + ~B lanes for the bucket tree.  The
-previous design additionally ran 2B SEQUENTIAL scalar point-adds per
-window (bucket reduction fori_loop) which dominated wall time ~10:1 on
-real hardware; Abel summation removes that term entirely.
+Cost model: ~N + (B+1)*log2(N) point-add lanes per window.  Two prior
+designs were killed by measurement on real hardware: 2B SEQUENTIAL
+scalar bucket adds per window (~10:1 of wall time; replaced by Abel
+summation) and a full Hillis-Steele prefix scan (N*log2(N) lane-adds
+per window, 8x slower end-to-end than the upsweep+tail form at 2^16).
 
 Multi-chip: shard the point axis; each chip runs this kernel on its
 slice and the per-chip partial results are combined with one
@@ -101,34 +102,62 @@ def signed_digits(scalars, c: int):
     return jnp.stack(out, axis=0)
 
 
-def _prefix_scan_points(f, pts, n: int):
-    """Unsegmented inclusive prefix sum of a (n, ...) point batch.
+def _backend_add(f):
+    """Batched complete point-add: fused Pallas kernel on TPU, XLA off."""
+    if _use_pallas():
+        from ..ec import pallas_curve as PC
 
-    Hillis-Steele with a jnp.roll shift: log2(n) rounds, ONE point_add
-    instantiation reused by the fori_loop (compile-time lean)."""
-    logn = max(1, (n - 1).bit_length())
-    idx = jnp.arange(n)
-
-    def body(t, p):
-        d = jnp.int32(1) << t
-        shifted = jax.tree.map(lambda a: jnp.roll(a, d, axis=0), p)
-        valid = idx >= d
-        combined = JC.point_add(f, p, shifted)
-        return JC.point_select(f, valid, combined, p)
-
-    return lax.fori_loop(0, logn, body, pts)
+        return lambda p, q: PC.point_add(f, p, q)
+    return lambda p, q: JC.point_add(f, p, q)
 
 
-def _tree_sum(f, pts, width: int):
+def _tail_prefix(f, add, pts, u, n: int):
+    """Inclusive prefix sums of a (n, ...) point batch at tail indices u.
+
+    Work-efficient replacement for a full Hillis-Steele prefix scan
+    (n*log2(n) adds) when prefixes are needed at only |u| positions:
+
+      1. upsweep: level t holds the sums of aligned blocks of 2^t
+         consecutive points -- log2(n) batched adds of HALVING width,
+         ~n lane-adds total;
+      2. the prefix over the first m = u+1 points is the sum of the
+         aligned blocks named by m's set bits (level t, block index
+         (m >> t) - 1) -- log2(n)+1 masked adds at width |u|.
+
+    u = -1 (empty prefix) yields the point at infinity for free: m = 0
+    has no set bits, so the accumulator is never touched.
+    """
+    levels = [pts]
+    w = n
+    while w > 1:
+        cur = levels[-1]
+        ev = jax.tree.map(lambda a: a[0::2], cur)
+        od = jax.tree.map(lambda a: a[1::2], cur)
+        levels.append(add(ev, od))
+        w //= 2
+    m = u + 1                                             # block counts
+    acc = JC.point_infinity(f, m.shape)
+    for t, lvl in enumerate(levels):
+        wt = max(1, n >> t)
+        idx = jnp.clip((m >> t) - 1, 0, wt - 1)
+        node = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), lvl)
+        bit = ((m >> t) & 1) == 1
+        acc = JC.point_select(f, bit, add(acc, node), acc)
+    return acc
+
+
+def _tree_sum(f, pts, width: int, add=None):
     """Sum a (width, ...) point batch; width must be a power of two.
 
     log2(width) halving point-adds (each a separate, shrinking-width
     instantiation -- widths differ so a fori_loop cannot apply)."""
+    if add is None:
+        add = _backend_add(f)
     while width > 1:
         half = width // 2
         lo = jax.tree.map(lambda a: a[:half], pts)
         hi = jax.tree.map(lambda a: a[half:], pts)
-        pts = JC.point_add(f, lo, hi)
+        pts = add(lo, hi)
         width = half
     return jax.tree.map(lambda a: a[0], pts)
 
@@ -195,6 +224,7 @@ def msm(f, points, scalars, c: int = 8):
     W = digits.shape[0]
     B = 1 << (c - 1)
     bucket_vals = jnp.arange(0, B + 1, dtype=jnp.int32)    # tails of b = 0..B
+    add = _backend_add(f)
 
     def window_body(carry, d_w):
         mag = jnp.abs(d_w)
@@ -208,22 +238,9 @@ def msm(f, points, scalars, c: int = 8):
         pts = jax.tree.map(lambda a: jnp.take(a, order, axis=0), (x, y, z))
         # X_b = prefix at the last element with key <= b (identity if none)
         u = jnp.searchsorted(keys, bucket_vals, side="right") - 1   # (B+1,)
-        u_cl = jnp.clip(u, 0, n - 1)
-        if _use_pallas():
-            from ..ec import pallas_curve as PC
-
-            prefix_soa = PC.prefix_scan_soa(f, PC.to_soa(f, pts), n)
-            lane_axis = 1 if f.deg == 1 else 2
-            tails = tuple(
-                jnp.take(c, u_cl, axis=lane_axis) for c in prefix_soa
-            )
-            xb = PC.from_soa(f, tails)
-        else:
-            prefix = _prefix_scan_points(f, pts, n)
-            xb = jax.tree.map(lambda a: jnp.take(a, u_cl, axis=0), prefix)
-        xb = JC.point_select(f, u >= 0, xb, JC.point_infinity(f, (B + 1,)))
+        xb = _tail_prefix(f, add, pts, u, n)
         # Abel summation: window total = B*X_B - sum_{b=0..B-1} X_b
-        head = _tree_sum(f, jax.tree.map(lambda a: a[:B], xb), B)
+        head = _tree_sum(f, jax.tree.map(lambda a: a[:B], xb), B, add)
         total = jax.tree.map(lambda a: a[B], xb)                    # X_B
         return carry, (total, head)
 

@@ -103,8 +103,16 @@ def batched_prove(
         in_shardings=(batch_sharding, batch_sharding),
         out_shardings=None,
     )
-    with mesh:
-        evs = fn(jnp.asarray(w_mont), jnp.asarray(w_plain))
+    # Persistent-cache serialization of this multi-device executable
+    # segfaults inside jaxlib (XLA:CPU LoadedExecutable.serialize); skip
+    # cache writes for this one program.
+    cache_was = bool(jax.config.jax_enable_compilation_cache)
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        with mesh:
+            evs = fn(jnp.asarray(w_mont), jnp.asarray(w_plain))
+    finally:
+        jax.config.update("jax_enable_compilation_cache", cache_was)
     ev_a_b, ev_b1_b, ev_b2_b, ev_h_b, ev_l_b = evs
 
     a_host = JC.proj_to_host_points(JC.FQ_OPS, ev_a_b)
