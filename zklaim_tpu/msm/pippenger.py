@@ -126,9 +126,18 @@ def _tail_prefix(f, add, pts, u, n: int):
 
     u = -1 (empty prefix) yields the point at infinity for free: m = 0
     has no set bits, so the accumulator is never touched.
+
+    n need not be a power of two: the batch is padded with points at
+    infinity, which can only land in aligned blocks past every tail.
     """
+    n2 = max(1, 1 << (n - 1).bit_length()) if n > 1 else 1
+    if n2 != n:
+        inf = JC.point_infinity(f, (n2 - n,))
+        pts = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), pts, inf
+        )
     levels = [pts]
-    w = n
+    w = n2
     while w > 1:
         cur = levels[-1]
         ev = jax.tree.map(lambda a: a[0::2], cur)
@@ -138,7 +147,7 @@ def _tail_prefix(f, add, pts, u, n: int):
     m = u + 1                                             # block counts
     acc = JC.point_infinity(f, m.shape)
     for t, lvl in enumerate(levels):
-        wt = max(1, n >> t)
+        wt = max(1, n2 >> t)
         idx = jnp.clip((m >> t) - 1, 0, wt - 1)
         node = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), lvl)
         bit = ((m >> t) & 1) == 1
