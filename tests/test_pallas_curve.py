@@ -53,6 +53,28 @@ def test_pallas_double_matches_xla(rng, group):
         np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
 
 
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="regression for a Mosaic crash"
+)
+@pytest.mark.parametrize("group", ["g1", "g2"])
+def test_pallas_add_wide_batch_on_tpu(rng, group):
+    """Regression: the G2 kernel at MSM-chunk widths crashed Mosaic's
+    vector layout pass ((2,16,N) blocks + (16,1) const broadcasts) --
+    the default prove path was dead on hardware until round 4."""
+    f = JC.FQ_OPS if group == "g1" else JC.FQ2_OPS
+    gen = g1_generator() if group == "g1" else g2_generator()
+    base = JC.host_points_to_proj(f, _rand_points(rng, gen, 8))
+    n = 2048
+    p = jax.tree.map(
+        lambda a: jnp.tile(a, (n // 8,) + (1,) * (a.ndim - 1)), base
+    )
+    expect = jax.jit(JC.point_add, static_argnums=0)(f, p, p)
+    got = PC.point_add(f, p, p)
+    for e, g in zip(expect, got):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
+
+
 def test_pallas_add_nonaligned_batch(rng):
     """Batch sizes that need lane padding (not multiples of 128)."""
     f = JC.FQ_OPS

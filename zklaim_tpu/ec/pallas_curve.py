@@ -12,9 +12,13 @@ Formulas: Renes-Costello-Batina 2016 complete addition/doubling for
 a = 0 short-Weierstrass curves, the same dataflow as ec/jaxcurve.py
 point_add/point_double (results are bit-identical).
 
-Layout: kernels are struct-of-arrays -- each Fq coordinate is (16, N)
-uint32 (limbs on sublanes); G2 coordinates are (2, 16, N).  Wrappers
-accept/return the jaxcurve AoS layout, i.e. (N, 16) / (N, 2, 16).
+Layout: kernels are struct-of-arrays and STRICTLY 2D -- every ref is a
+(16, N) uint32 block (limbs on sublanes, batch on lanes).  An Fq2
+coordinate is passed as TWO such refs (c0, c1) and represented in-kernel
+as a Python tuple, never as a stacked (2, 16, N) array: Mosaic's vector
+layout pass mis-tiles 3D blocks whose major dim is 2 (vector_extract_rule
+CHECK failure `limits[i] <= dim(i)` seen on v5e), and 2D blocks are the
+native tiling anyway.
 """
 
 from __future__ import annotations
@@ -30,9 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ff import pallas_field as PF
 from ..ff.limbs import NUM_LIMBS
-from ..ff.montgomery import FQ
 from .hostcurve import B_G2
-from .jaxcurve import FQ_OPS
 
 LANES = 512          # lane-axis tile; multiple of 128
 
@@ -52,7 +54,7 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Field-op namespaces over the SoA in-kernel layout
+# Field-op namespaces over the in-kernel layout
 # ---------------------------------------------------------------------------
 
 
@@ -86,54 +88,51 @@ class _Fq:
         return PF.mul_small(x, 9, self.p)
 
 
-def _b3_g2_cols() -> np.ndarray:
+def _b3_g2_cols() -> tuple[np.ndarray, np.ndarray]:
     from ..ff import montgomery as M
 
     b3 = B_G2 * 3
-    return np.stack(
-        [
-            np.asarray(M.encode_ints(M.FQ, [b3.c0])[0], dtype=np.uint32),
-            np.asarray(M.encode_ints(M.FQ, [b3.c1])[0], dtype=np.uint32),
-        ]
-    ).reshape(2, NUM_LIMBS, 1)
+    return (
+        np.asarray(M.encode_ints(M.FQ, [b3.c0])[0], dtype=np.uint32)
+        .reshape(NUM_LIMBS, 1),
+        np.asarray(M.encode_ints(M.FQ, [b3.c1])[0], dtype=np.uint32)
+        .reshape(NUM_LIMBS, 1),
+    )
 
 
 _B3_G2 = _b3_g2_cols()
 
 
 class _Fq2:
-    """(2, 16, N) Montgomery Fq2 values inside a kernel (Karatsuba)."""
+    """Fq2 values inside a kernel: tuples (c0, c1) of (16, N) arrays."""
 
     deg = 2
 
-    def __init__(self, p_col, np_col, b3):
+    def __init__(self, p_col, np_col, b3c0, b3c1):
         self.fq = _Fq(p_col, np_col)
-        self.b3 = b3                        # (2, 16, 1)
+        self.b3 = (b3c0, b3c1)              # each (16, tile), pre-broadcast
 
     def mul(self, a, b):
         fq = self.fq
         t0 = fq.mul(a[0], b[0])
         t1 = fq.mul(a[1], b[1])
         t2 = fq.mul(fq.add(a[0], a[1]), fq.add(b[0], b[1]))
-        c0 = fq.sub(t0, t1)
-        c1 = fq.sub(fq.sub(t2, t0), t1)
-        return jnp.stack([c0, c1], axis=0)
+        return (fq.sub(t0, t1), fq.sub(fq.sub(t2, t0), t1))
 
-    # PF.add_mod/sub_mod treat axis 0 as limbs, so apply per component
     def add(self, a, b):
         fq = self.fq
-        return jnp.stack([fq.add(a[0], b[0]), fq.add(a[1], b[1])])
+        return (fq.add(a[0], b[0]), fq.add(a[1], b[1]))
 
     def sub(self, a, b):
         fq = self.fq
-        return jnp.stack([fq.sub(a[0], b[0]), fq.sub(a[1], b[1])])
+        return (fq.sub(a[0], b[0]), fq.sub(a[1], b[1]))
 
     def dbl(self, a):
         fq = self.fq
-        return jnp.stack([fq.dbl(a[0]), fq.dbl(a[1])])
+        return (fq.dbl(a[0]), fq.dbl(a[1]))
 
     def mul_b3(self, x):
-        return self.mul(x, jnp.broadcast_to(self.b3, x.shape))
+        return self.mul(x, self.b3)
 
 
 # ---------------------------------------------------------------------------
@@ -192,120 +191,140 @@ def _field(fdeg, const_refs):
     if fdeg == 1:
         p_ref, np_ref = const_refs
         return _Fq(p_ref[:], np_ref[:])
-    p_ref, np_ref, b3_ref = const_refs
-    return _Fq2(p_ref[:], np_ref[:], b3_ref[:])
+    p_ref, np_ref, b30_ref, b31_ref = const_refs
+    return _Fq2(p_ref[:], np_ref[:], b30_ref[:], b31_ref[:])
+
+
+def _n_const(fdeg):
+    return 2 if fdeg == 1 else 4
+
+
+def _read_coord(fdeg, refs):
+    """fdeg consecutive refs -> one in-kernel field value."""
+    if fdeg == 1:
+        return refs[0][:]
+    return (refs[0][:], refs[1][:])
+
+
+def _write_coord(fdeg, refs, val):
+    if fdeg == 1:
+        refs[0][:] = val
+    else:
+        refs[0][:] = val[0]
+        refs[1][:] = val[1]
+
+
+def _coords(fdeg, refs, count):
+    """Split a flat ref list into `count` coordinate groups of fdeg refs."""
+    return [refs[i * fdeg:(i + 1) * fdeg] for i in range(count)]
 
 
 def _add_kernel(fdeg, *refs):
-    n_const = 2 if fdeg == 1 else 3
-    f = _field(fdeg, refs[:n_const])
-    x1, y1, z1, x2, y2, z2, xo, yo, zo = refs[n_const:]
-    r = _rcb_add(f, (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]))
-    xo[:], yo[:], zo[:] = r
+    nc = _n_const(fdeg)
+    f = _field(fdeg, refs[:nc])
+    groups = _coords(fdeg, refs[nc:], 9)            # 6 in + 3 out
+    p = tuple(_read_coord(fdeg, g) for g in groups[:3])
+    q = tuple(_read_coord(fdeg, g) for g in groups[3:6])
+    r = _rcb_add(f, p, q)
+    for g, val in zip(groups[6:], r):
+        _write_coord(fdeg, g, val)
 
 
 def _double_kernel(fdeg, *refs):
-    n_const = 2 if fdeg == 1 else 3
-    f = _field(fdeg, refs[:n_const])
-    x, y, z, xo, yo, zo = refs[n_const:]
-    r = _rcb_double(f, (x[:], y[:], z[:]))
-    xo[:], yo[:], zo[:] = r
+    nc = _n_const(fdeg)
+    f = _field(fdeg, refs[:nc])
+    groups = _coords(fdeg, refs[nc:], 6)            # 3 in + 3 out
+    p = tuple(_read_coord(fdeg, g) for g in groups[:3])
+    r = _rcb_double(f, p)
+    for g, val in zip(groups[3:], r):
+        _write_coord(fdeg, g, val)
 
 
-def _const_operands(fdeg):
-    """(arrays, BlockSpecs) for the field-constant kernel operands."""
-    p = jnp.asarray(PF.FQ_P)
-    np_ = jnp.asarray(PF.FQ_NP)
-    if fdeg == 1:
-        arrs = (p, np_)
-    else:
-        arrs = (p, np_, jnp.asarray(_B3_G2))
-    specs = [
-        pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
-                     memory_space=pltpu.VMEM)
-        for a in arrs
-    ]
-    return arrs, specs
+def _const_operands(fdeg, tile):
+    """(arrays, BlockSpecs) for the field-constant kernel operands.
+
+    Constants are pre-broadcast to full (16, tile) blocks: lane-dim-1
+    blocks (and in-kernel lane broadcasts of refs) hit a Mosaic
+    vector-layout CHECK failure on v5e, and full blocks cost only a few
+    KiB of VMEM."""
+    cols = [PF.FQ_P, PF.FQ_NP]
+    if fdeg == 2:
+        cols += [_B3_G2[0], _B3_G2[1]]
+    arrs = tuple(
+        jnp.asarray(np.broadcast_to(c, (NUM_LIMBS, tile))) for c in cols
+    )
+    spec = pl.BlockSpec(
+        (NUM_LIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return arrs, [spec] * len(arrs)
 
 
 def _soa(f, coord):
-    """(N, 16) -> (16, N) or (N, 2, 16) -> (2, 16, N)."""
+    """AoS coordinate -> tuple of (16, N) planes.
+
+    G1: (N, 16) -> ((16, N),).  G2: (N, 2, 16) -> ((16, N), (16, N))."""
     if f.deg == 1:
-        return jnp.swapaxes(coord, 0, 1)
-    return jnp.moveaxis(coord, 0, 2)
+        return (jnp.swapaxes(coord, 0, 1),)
+    return (
+        jnp.swapaxes(coord[:, 0, :], 0, 1),
+        jnp.swapaxes(coord[:, 1, :], 0, 1),
+    )
 
 
-def _aos(f, coord):
+def _aos(f, planes):
+    """Inverse of _soa."""
     if f.deg == 1:
-        return jnp.swapaxes(coord, 0, 1)
-    return jnp.moveaxis(coord, 2, 0)
-
-
-def _block_shape(fdeg, n):
-    return (16, n) if fdeg == 1 else (2, 16, n)
-
-
-def _index_map(fdeg):
-    if fdeg == 1:
-        return lambda i: (0, i)
-    return lambda i: (0, 0, i)
+        return jnp.swapaxes(planes[0], 0, 1)
+    return jnp.stack(
+        [jnp.swapaxes(planes[0], 0, 1), jnp.swapaxes(planes[1], 0, 1)], axis=1
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _padd_soa(fdeg, n, *coords):
+def _padd_soa(fdeg, n, *planes):
+    """planes: 6*fdeg arrays of (16, n); returns 3*fdeg planes."""
     tile = min(LANES, n)
     grid = (n // tile,)
-    spec = pl.BlockSpec(
-        _block_shape(fdeg, tile), _index_map(fdeg), memory_space=pltpu.VMEM
-    )
+    spec = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     out_shape = tuple(
-        jax.ShapeDtypeStruct(_block_shape(fdeg, n), jnp.uint32)
-        for _ in range(3)
+        jax.ShapeDtypeStruct((16, n), jnp.uint32) for _ in range(3 * fdeg)
     )
-    consts, const_specs = _const_operands(fdeg)
+    consts, const_specs = _const_operands(fdeg, tile)
     return pl.pallas_call(
         functools.partial(_add_kernel, fdeg),
         grid=grid,
-        in_specs=const_specs + [spec] * 6,
-        out_specs=(spec,) * 3,
+        in_specs=const_specs + [spec] * (6 * fdeg),
+        out_specs=(spec,) * (3 * fdeg),
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(*consts, *coords)
+    )(*consts, *planes)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _pdouble_soa(fdeg, n, *coords):
+def _pdouble_soa(fdeg, n, *planes):
     tile = min(LANES, n)
     grid = (n // tile,)
-    spec = pl.BlockSpec(
-        _block_shape(fdeg, tile), _index_map(fdeg), memory_space=pltpu.VMEM
-    )
+    spec = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     out_shape = tuple(
-        jax.ShapeDtypeStruct(_block_shape(fdeg, n), jnp.uint32)
-        for _ in range(3)
+        jax.ShapeDtypeStruct((16, n), jnp.uint32) for _ in range(3 * fdeg)
     )
-    consts, const_specs = _const_operands(fdeg)
+    consts, const_specs = _const_operands(fdeg, tile)
     return pl.pallas_call(
         functools.partial(_double_kernel, fdeg),
         grid=grid,
-        in_specs=const_specs + [spec] * 3,
-        out_specs=(spec,) * 3,
+        in_specs=const_specs + [spec] * (3 * fdeg),
+        out_specs=(spec,) * (3 * fdeg),
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
-    )(*consts, *coords)
+    )(*consts, *planes)
 
 
-def _pad_lanes(soa_coord, n, n_pad):
+def _pad_lanes(plane, n, n_pad):
     if n_pad == n:
-        return soa_coord
-    pad = [(0, 0)] * (soa_coord.ndim - 1) + [(0, n_pad - n)]
-    return jnp.pad(soa_coord, pad)
-
-
-def _lane_count(fops, aos_coord):
-    return aos_coord.shape[0]
+        return plane
+    return jnp.pad(plane, ((0, 0), (0, n_pad - n)))
 
 
 def _padded_lanes(n: int) -> int:
@@ -321,100 +340,32 @@ def _padded_lanes(n: int) -> int:
     return n_pad
 
 
-# ---------------------------------------------------------------------------
-# SoA masked add: the MSM prefix-scan round (select(mask, p+q, p))
-# ---------------------------------------------------------------------------
-
-# Lane tile for the scan-round kernel.  Bounded by the 16 MiB scoped-VMEM
-# limit: the fused add needs ~1.3 KiB VMEM per G1 lane (measured: 43 MiB
-# at 2^15 lanes), ~2.6 KiB per G2 lane.
-SCAN_TILE = {1: 4096, 2: 2048}
-
-
-def _masked_add_kernel(fdeg, *refs):
-    n_const = 2 if fdeg == 1 else 3
-    f = _field(fdeg, refs[:n_const])
-    m_ref, x1, y1, z1, x2, y2, z2, xo, yo, zo = refs[n_const:]
-    p = (x1[:], y1[:], z1[:])
-    r = _rcb_add(f, p, (x2[:], y2[:], z2[:]))
-    m = m_ref[:] != 0                       # (1, tile)
-    if fdeg == 2:
-        m = m[None]                          # broadcast over the tower axis
-    xo[:] = jnp.where(m, r[0], p[0])
-    yo[:] = jnp.where(m, r[1], p[1])
-    zo[:] = jnp.where(m, r[2], p[2])
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _masked_add_soa(fdeg, n, mask, *coords):
-    """select(mask, p + q, p) on SoA coords; mask (1, n) int32.
-
-    coords: x1,y1,z1,x2,y2,z2 each (16, n) [G1] or (2, 16, n) [G2]."""
-    tile = min(SCAN_TILE[fdeg], n)
-    grid = (n // tile,)
-    spec = pl.BlockSpec(
-        _block_shape(fdeg, tile), _index_map(fdeg), memory_space=pltpu.VMEM
+def _unpack_point(f, planes):
+    """3*fdeg output planes -> AoS (x, y, z) coordinate arrays."""
+    k = f.deg
+    return tuple(
+        _aos(f, planes[i * k:(i + 1) * k]) for i in range(3)
     )
-    mspec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_shape = tuple(
-        jax.ShapeDtypeStruct(_block_shape(fdeg, n), jnp.uint32)
-        for _ in range(3)
-    )
-    consts, const_specs = _const_operands(fdeg)
-    return pl.pallas_call(
-        functools.partial(_masked_add_kernel, fdeg),
-        grid=grid,
-        in_specs=const_specs + [mspec] + [spec] * 6,
-        out_specs=(spec,) * 3,
-        out_shape=out_shape,
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(*consts, mask, *coords)
-
-
-def to_soa(fops, pt):
-    """AoS point pytree (N, 16)/(N, 2, 16) -> SoA (16, N)/(2, 16, N)."""
-    return tuple(_soa(fops, c) for c in pt)
-
-
-def from_soa(fops, pt):
-    return tuple(_aos(fops, c) for c in pt)
-
-
-def prefix_scan_soa(fops, pt, n: int):
-    """Unsegmented inclusive prefix sum over the lane axis of SoA points.
-
-    Hillis-Steele, statically unrolled: log2(n) fused masked-add rounds;
-    the shift is an XLA lane-roll between kernels (traffic-trivial next
-    to the adds).  Bit-identical to jaxcurve point_add folds."""
-    logn = max(1, (n - 1).bit_length())
-    lane_axis = 1 if fops.deg == 1 else 2
-    idx = jnp.arange(n)
-    for t in range(logn):
-        d = 1 << t
-        mask = (idx >= d).astype(jnp.uint32)[None, :]
-        shifted = tuple(jnp.roll(c, d, axis=lane_axis) for c in pt)
-        out = _masked_add_soa(fops.deg, n, mask, *pt, *shifted)
-        pt = out
-    return pt
 
 
 def point_add(fops, p, q):
     """Fused complete add; drop-in for jaxcurve.point_add on (N,)-batched
     pytrees.  fops: jaxcurve.FQ_OPS or FQ2_OPS."""
-    n = _lane_count(fops, p[0])
+    n = p[0].shape[0]
     n_pad = _padded_lanes(n)
     ins = []
     for pt in (p, q):
         for c in pt:
-            ins.append(_pad_lanes(_soa(fops, c), n, n_pad))
+            ins.extend(_pad_lanes(pl_, n, n_pad) for pl_ in _soa(fops, c))
     outs = _padd_soa(fops.deg, n_pad, *ins)
-    return tuple(_aos(fops, o)[:n] for o in outs)
+    return tuple(c[:n] for c in _unpack_point(fops, outs))
 
 
 def point_double(fops, p):
-    n = _lane_count(fops, p[0])
+    n = p[0].shape[0]
     n_pad = _padded_lanes(n)
-    ins = [_pad_lanes(_soa(fops, c), n, n_pad) for c in p]
+    ins = []
+    for c in p:
+        ins.extend(_pad_lanes(pl_, n, n_pad) for pl_ in _soa(fops, c))
     outs = _pdouble_soa(fops.deg, n_pad, *ins)
-    return tuple(_aos(fops, o)[:n] for o in outs)
+    return tuple(c[:n] for c in _unpack_point(fops, outs))

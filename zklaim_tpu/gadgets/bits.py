@@ -17,7 +17,27 @@ in allocation order always yields a consistent assignment.
 from __future__ import annotations
 
 from ..ff.params import R
-from ..r1cs.system import LC, ONE, ZERO, ConstraintSystem
+from ..r1cs.system import (
+    LC, ONE, ZERO, ConstraintSystem, bit_operand, signed_terms,
+)
+
+# Vectorizable-decompose coefficient bound: with bit-valued inputs and a
+# few hundred terms, |sum| stays far below 2^63 (i64-safe).  The 65-bit
+# comparison decompose (coeffs up to 2^63) intentionally fails this and
+# takes the python path -- a handful of instances per circuit.
+_DEC_BOUND = 1 << 48
+
+
+def _bitop_desc(kind, ins, out_lc):
+    """("bitop", ...) descriptor, or None if an input isn't canonical."""
+    ops = [bit_operand(x) for x in ins]
+    if any(o is None for o in ops):
+        return None
+    return ("bitop", kind, ops, next(iter(out_lc.terms)))
+
+
+def _lc_vars(*lcs):
+    return sorted({v for lc in lcs for v in lc.terms if v != 0})
 
 
 def as_const(lc: LC):
@@ -65,7 +85,12 @@ def decompose(cs: ConstraintSystem, lc: LC, n: int, note="decomp") -> list:
         for i in range(n):
             w[first + i] = (v >> i) & 1
 
-    cs.add_hook(hook)
+    st = signed_terms(lc, _DEC_BOUND)
+    if st is not None:
+        desc = ("dec", st[0], st[1], first, n)
+    else:
+        desc = ("py", _lc_vars(lc), list(range(first, first + n)))
+    cs.add_hook(hook, desc)
     return bits
 
 
@@ -84,7 +109,8 @@ def bxor(cs: ConstraintSystem, a: LC, b: LC, note="xor") -> LC:
     def hook(w, a=a, b=b, var=var):
         w[var] = a.eval(w) ^ b.eval(w)
 
-    cs.add_hook(hook)
+    cs.add_hook(hook, _bitop_desc("xor", (a, b), c)
+                or ("py", _lc_vars(a, b), [var]))
     return c
 
 
@@ -105,7 +131,8 @@ def band(cs: ConstraintSystem, a: LC, b: LC, note="and") -> LC:
     def hook(w, a=a, b=b, var=var):
         w[var] = a.eval(w) & b.eval(w)
 
-    cs.add_hook(hook)
+    cs.add_hook(hook, _bitop_desc("and", (a, b), c)
+                or ("py", _lc_vars(a, b), [var]))
     return c
 
 
@@ -123,7 +150,8 @@ def ch(cs: ConstraintSystem, e: LC, f: LC, g: LC, note="ch") -> LC:
     def hook(w, e=e, f=f, g=g, var=var):
         w[var] = f.eval(w) if e.eval(w) else g.eval(w)
 
-    cs.add_hook(hook)
+    cs.add_hook(hook, _bitop_desc("ch", (e, f, g), c)
+                or ("py", _lc_vars(e, f, g), [var]))
     return c
 
 
@@ -153,5 +181,6 @@ def maj(cs: ConstraintSystem, a: LC, b: LC, c: LC, note="maj") -> LC:
     def hook(w, a=a, b=b, c=c, var=var):
         w[var] = 1 if (a.eval(w) + b.eval(w) + c.eval(w)) >= 2 else 0
 
-    cs.add_hook(hook)
+    cs.add_hook(hook, _bitop_desc("maj", (a, b, c), m)
+                or ("py", _lc_vars(a, b, c), [var]))
     return m

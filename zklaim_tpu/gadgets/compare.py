@@ -41,14 +41,19 @@ def comparison(cs: ConstraintSystem, n: int, a: LC, b: LC, note="cmp"):
         w[inv_var] = pow(v, -1, R) if v else 0
         w[z_var] = 1 if v else 0
 
-    cs.add_hook(hook)
+    cs.add_hook(
+        hook, ("py", sorted(v for v in s.terms if v), [z_var, inv_var])
+    )
 
     less = cs.alloc_lc()
     cs.constrain(le, z, less, note + ".less")
     less_var = next(iter(less.terms))
 
     def hook2(w, le=le, z_var=z_var, less_var=less_var):
-        w[less_var] = le.eval(w) & w[z_var]
+        w[less_var] = le.eval(w) & int(w[z_var])
 
-    cs.add_hook(hook2)
+    cs.add_hook(
+        hook2,
+        ("py", sorted({v for v in le.terms if v} | {z_var}), [less_var]),
+    )
     return less, le

@@ -156,37 +156,56 @@ def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
 
 
 def h_pipeline(qap: QAP):
-    """ONE jitted program for witness map -> NTT -> plain H coefficients.
+    """ONE jitted program: plain witness -> mont encode -> satisfaction
+    check -> witness map -> NTT -> plain H coefficients.
 
     Eager per-op dispatch is poison here: on the tunneled TPU backend an
     un-jitted h_coefficients costs ~700 s of RPC round-trips for ~40 ms
     of device work.  Memoized on the QAP.  The MSMs stay as separate
     msm_pow2 programs on purpose: a/b1/h/l share one compiled kernel
     (same shapes), which a fused mega-jit would forfeit.
+
+    The satisfaction check (reference early-abort, snark.cpp:121-124)
+    rides the constraint evaluations the witness map needs anyway:
+    mont_mul(<A_j,w>, <B_j,w>) == <C_j,w> on every domain row (the
+    input-consistency tail rows hold trivially: B row is empty).
     """
     fn = getattr(qap, "_h_fn", None)
     if fn is None:
 
-        def run(w_mont):
-            h_mont = qap.h_coefficients(w_mont)
-            return M.from_mont(FR, h_mont)[: qap.m - 1]
+        def run(w_plain):
+            w_mont = M.to_mont(FR, w_plain)
+            evals = qap.constraint_evals(w_mont)
+            a_ev, b_ev, c_ev = evals
+            bad = jnp.any(M.mont_mul(FR, a_ev, b_ev) != c_ev, axis=-1)
+            h_mont = qap.h_coefficients(w_mont, evals)
+            return M.from_mont(FR, h_mont)[: qap.m - 1], jnp.sum(bad)
 
         fn = qap._h_fn = jax.jit(run)
     return fn
 
 
-def prove(pk: ProvingKey, qap: QAP, witness: list, rng, msm_c: int = 8) -> Proof:
-    """Groth16 prover.  witness: full assignment [1, primary..., aux...]."""
-    if not qap.cs.is_satisfied(witness):
-        raise ValueError(f"unsatisfied constraint: {qap.cs.first_unsatisfied(witness)}")
+def witness_plain_limbs(witness) -> np.ndarray:
+    """(num_vars, 16) u32 plain-domain limbs from either witness form."""
+    to_limbs = getattr(witness, "to_plain_limbs", None)
+    if to_limbs is not None:
+        return to_limbs()
+    return ints_to_limbs(witness)
 
+
+def prove(pk: ProvingKey, qap: QAP, witness, rng, msm_c: int = 8) -> Proof:
+    """Groth16 prover.  witness: full assignment [1, primary..., aux...]
+    (list[int] or r1cs.system.WitnessVec)."""
     r = rng.randrange(R)
     s = rng.randrange(R)
 
-    w_plain = jnp.asarray(ints_to_limbs(witness))
-    w_mont = jnp.asarray(M.encode_ints(FR, witness))
+    w_plain = jnp.asarray(witness_plain_limbs(witness))
 
-    h_plain = h_pipeline(qap)(w_mont)
+    h_plain, n_bad = h_pipeline(qap)(w_plain)
+    if int(n_bad):
+        raise ValueError(
+            f"unsatisfied constraint: {qap.cs.first_unsatisfied(witness)}"
+        )
 
     ev_a = _single(msm_pow2(JC.FQ_OPS, pk.a_g1, w_plain, msm_c))
     ev_b1 = _single(msm_pow2(JC.FQ_OPS, pk.b_g1, w_plain, msm_c))

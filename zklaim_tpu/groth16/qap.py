@@ -122,12 +122,14 @@ class QAP:
             out.append(M.reduce_wide(FR, lazy))
         return tuple(out)
 
-    def h_coefficients(self, w_mont):
+    def h_coefficients(self, w_mont, evals=None):
         """H(x) = (A(x)B(x) - C(x)) / Z(x) coefficients, (m, 16) mont.
 
         The last coefficient is identically zero (deg H = m - 2).
+        evals: precomputed constraint_evals(w_mont) to share work with
+        the satisfaction check.
         """
-        a_ev, b_ev, c_ev = self.constraint_evals(w_mont)
+        a_ev, b_ev, c_ev = evals if evals is not None else self.constraint_evals(w_mont)
         dom = self.domain
         a_cos = dom.coset_ntt(dom.intt(a_ev))
         b_cos = dom.coset_ntt(dom.intt(b_ev))

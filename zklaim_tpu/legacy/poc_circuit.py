@@ -70,7 +70,8 @@ class PocCircuit:
             def hook(w, var=var, chunk=chunk):
                 w[var] = B.pack_lc(chunk).eval(w)
 
-            cs.add_hook(hook)
+            in_vars = sorted({v for lc in chunk for v in lc.terms if v != 0})
+            cs.add_hook(hook, ("py", in_vars, [var]))
 
         self.cs = cs
 

@@ -74,11 +74,205 @@ class LC:
         return self * (R - 1)
 
     def eval(self, w) -> int:
-        return sum(c * w[v] for v, c in self.terms.items()) % R
+        return sum(c * int(w[v]) for v, c in self.terms.items()) % R
 
 
 ONE = LC.of(0)
 ZERO = LC()
+
+
+def bit_operand(lc: LC):
+    """Canonicalize a boolean-valued LC to (var, negated) if possible.
+
+    Recognized forms: const 0/1 (var 0 with/without negation -- w[0] == 1
+    makes ONE just var 0), single var {v: 1}, negated var {0: 1, v: R-1}.
+    Returns None for anything else (caller falls back to a python hook).
+    """
+    t = lc.terms
+    if not t:
+        return (0, True)                     # const 0 == NOT w[0]
+    if len(t) == 1:
+        (v, c), = t.items()
+        if c == 1:
+            return (v, False)
+        return None
+    if len(t) == 2 and t.get(0) == 1:
+        (v, c), = ((v, c) for v, c in t.items() if v != 0)
+        if c == R - 1:
+            return (v, True)
+    return None
+
+
+def signed_terms(lc: LC, bound: int):
+    """LC terms as [(var, signed_int)] + const, mapping c > R/2 to c - R.
+
+    Returns None unless every |signed coefficient| (and the const)
+    is <= bound -- the caller's guarantee that i64 evaluation with
+    bit-valued inputs cannot overflow."""
+    terms, const = [], 0
+    for v, c in lc.terms.items():
+        s = c if c <= R // 2 else c - R
+        if abs(s) > bound:
+            return None
+        if v == 0:
+            const = s
+        else:
+            terms.append((v, s))
+    return terms, const
+
+
+class WitnessVec:
+    """Witness assignment: numpy int64 fast lane + dict of big values.
+
+    Behaves like the list[int] the slow path returns (len/iter/index);
+    values >= 2^62 (packed public inputs, field inverses) live in `big`."""
+
+    __slots__ = ("small", "big")
+    _BIG = 1 << 62
+
+    def __init__(self, num_vars: int):
+        self.small = np.zeros(num_vars, dtype=np.int64)
+        self.big: dict[int, int] = {}
+
+    def __len__(self):
+        return self.small.shape[0]
+
+    def __getitem__(self, i):
+        v = self.big.get(i)
+        if v is not None:
+            return v
+        return int(self.small[i])
+
+    def __setitem__(self, i, v):
+        v = int(v)
+        if 0 <= v < self._BIG:
+            self.small[i] = v
+        else:
+            self.big[i] = v % R
+
+    def __iter__(self):
+        big = self.big
+        for i, v in enumerate(self.small.tolist()):
+            yield big.get(i, v)
+
+    def to_plain_limbs(self) -> np.ndarray:
+        """(num_vars, 16) u32 plain-domain limb array, vectorized."""
+        from ..ff.limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs
+
+        out = np.zeros((len(self), NUM_LIMBS), dtype=np.uint32)
+        u = self.small.astype(np.uint64)
+        for i in range(4):                   # i64 values span limbs 0..3
+            out[:, i] = (u >> np.uint64(LIMB_BITS * i)) & np.uint64(LIMB_MASK)
+        for v, x in self.big.items():
+            out[v] = int_to_limbs(x)
+        return out
+
+
+class WitnessPlan:
+    """Level-scheduled, batched witness evaluator.
+
+    Hooks are grouped into dependency levels (level = 1 + max level of
+    any input variable) and, within a level, into same-kind batches that
+    evaluate as single numpy array ops.  Replaces the reference's
+    sequential per-gadget witness generation (zklaim_gadget.cpp:705-783)
+    with data-parallel passes; descriptors are registered by the gadget
+    library (gadgets/bits.py) alongside the python closures."""
+
+    def __init__(self, cs: "ConstraintSystem"):
+        lvl = np.zeros(cs.num_vars, dtype=np.int64)
+        buckets: dict[tuple, list] = {}
+        for idx, desc in enumerate(cs.hook_descs):
+            if desc is None:
+                raise ValueError("hook without descriptor; no plan possible")
+            kind = desc[0]
+            if kind == "bitop":
+                _, op, ins, out = desc
+                in_vars = [v for v, _ in ins]
+                outs = [out]
+                key = (op, len(ins))
+            elif kind == "dec":
+                _, terms, _c, first, n = desc
+                in_vars = [v for v, _ in terms]
+                outs = list(range(first, first + n))
+                key = ("dec", n)
+            elif kind == "py":
+                _, in_vars, outs = desc
+                key = ("py",)
+            else:
+                raise ValueError(f"unknown descriptor {kind}")
+            level = 1 + int(lvl[in_vars].max()) if in_vars else 1
+            lvl[outs] = level
+            buckets.setdefault((level,) + key, []).append(idx)
+
+        self._batches = []
+        for key in sorted(buckets, key=lambda k: k[0]):
+            idxs = buckets[key]
+            kind = key[1]
+            if kind == "py":
+                self._batches.append(("py", [cs.hooks[i] for i in idxs]))
+            elif kind == "dec":
+                n = key[2]
+                descs = [cs.hook_descs[i] for i in idxs]
+                counts = [len(d[1]) for d in descs]
+                if min(counts) == 0:         # reduceat needs non-empty rows
+                    self._batches.append(("py", [cs.hooks[i] for i in idxs]))
+                    continue
+                cat_v = np.array(
+                    [v for d in descs for v, _ in d[1]], dtype=np.int64
+                )
+                cat_c = np.array(
+                    [c for d in descs for _, c in d[1]], dtype=np.int64
+                )
+                starts = np.zeros(len(descs), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                consts = np.array([d[2] for d in descs], dtype=np.int64)
+                firsts = np.array([d[3] for d in descs], dtype=np.int64)
+                self._batches.append(
+                    ("dec", n, cat_v, cat_c, starts, consts, firsts)
+                )
+            else:                            # bitop
+                descs = [cs.hook_descs[i] for i in idxs]
+                in_var = np.array(
+                    [[v for v, _ in d[2]] for d in descs], dtype=np.int64
+                )
+                in_neg = np.array(
+                    [[neg for _, neg in d[2]] for d in descs], dtype=bool
+                )
+                out_var = np.array([d[3] for d in descs], dtype=np.int64)
+                self._batches.append(("bitop", kind, in_var, in_neg, out_var))
+
+        self.num_vars = cs.num_vars
+
+    def run(self, w: WitnessVec) -> None:
+        small = w.small
+        for batch in self._batches:
+            tag = batch[0]
+            if tag == "py":
+                for fn in batch[1]:
+                    fn(w)
+            elif tag == "dec":
+                _, n, cat_v, cat_c, starts, consts, firsts = batch
+                prods = small[cat_v] * cat_c
+                vals = np.add.reduceat(prods, starts) + consts
+                shifts = np.arange(n, dtype=np.int64)
+                bits = (vals[:, None] >> shifts) & 1
+                idx = firsts[:, None] + shifts
+                small[idx.reshape(-1)] = bits.reshape(-1)
+            else:
+                _, op, in_var, in_neg, out_var = batch
+                vv = small[in_var]
+                vv = np.where(in_neg, 1 - vv, vv)
+                if op == "xor":
+                    r = vv[:, 0] ^ vv[:, 1]
+                elif op == "and":
+                    r = vv[:, 0] & vv[:, 1]
+                elif op == "ch":
+                    e, f_, g = vv[:, 0], vv[:, 1], vv[:, 2]
+                    r = g ^ (e & (f_ ^ g))
+                else:                        # maj
+                    a, b, c = vv[:, 0], vv[:, 1], vv[:, 2]
+                    r = (a & b) | (a & c) | (b & c)
+                small[out_var] = r
 
 
 class ConstraintSystem:
@@ -89,7 +283,9 @@ class ConstraintSystem:
         self.num_primary = 0       # set by mark_primary_end()
         self.constraints: list[tuple[LC, LC, LC]] = []
         self.hooks: list = []      # callables hook(w: list[int]) -> None
+        self.hook_descs: list = [] # parallel typed descriptors (or None)
         self.annotations: list[str] = []
+        self._plan = None
 
     # -- allocation -------------------------------------------------------
 
@@ -122,14 +318,39 @@ class ConstraintSystem:
 
     # -- witness ----------------------------------------------------------
 
-    def add_hook(self, fn):
+    def add_hook(self, fn, desc=None):
         self.hooks.append(fn)
+        self.hook_descs.append(desc)
+        self._plan = None
 
-    def generate_witness(self, init_hook=None) -> list[int]:
-        """Run all hooks in order; returns the full assignment [1, ...].
+    def witness_plan(self):
+        """Compiled batched evaluator; None if any hook lacks a descriptor
+        (or hooks were manipulated directly, desyncing the descriptors)."""
+        if len(self.hooks) != len(self.hook_descs):
+            return None
+        if self._plan is None:
+            try:
+                self._plan = WitnessPlan(self)
+            except ValueError:
+                self._plan = False
+        return self._plan or None
 
-        init_hook, if given, runs first (sets external inputs).
+    def generate_witness(self, init_hook=None, fast=True):
+        """Full assignment [1, ...]: WitnessVec (fast) or list[int].
+
+        init_hook, if given, runs first (sets external inputs).  The fast
+        path level-schedules typed hook batches into vectorized numpy
+        passes (see WitnessPlan) and is value-identical to the sequential
+        hook run; fast=False forces the sequential reference path.
         """
+        plan = self.witness_plan() if fast else None
+        if plan is not None:
+            w = WitnessVec(self.num_vars)
+            w.small[0] = 1
+            if init_hook is not None:
+                init_hook(w)
+            plan.run(w)
+            return w
         w = [0] * self.num_vars
         w[0] = 1
         if init_hook is not None:
