@@ -4,7 +4,7 @@ import random
 
 import pytest
 
-from zklaim_tpu.claims import signing, store
+from zklaim_tpu.claims import serde, signing, store
 from zklaim_tpu.claims.api import Context, Payload, ZKLAIM_OK, ZkOp
 from zklaim_tpu.utils.profiling import PhaseTimer
 
@@ -32,7 +32,7 @@ def test_issuer_state_roundtrip(tmp_path, tiny_ctx):
 def test_key_magic_validation(tmp_path, tiny_ctx):
     p = tmp_path / "pk.zkl"
     p.write_bytes(b"NOPE" + bytes(64))
-    with pytest.raises(AssertionError):
+    with pytest.raises(serde.SerdeError):
         store.load_proving_key(str(p))
     store.save_proving_key(str(p), tiny_ctx.pk)
     assert store.load_proving_key(str(p)) == tiny_ctx.pk

@@ -145,7 +145,8 @@ class Payload:
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "Payload":
-        assert len(raw) == PAYLOAD_WIRE_SIZE
+        if len(raw) != PAYLOAD_WIRE_SIZE:
+            raise ValueError("bad payload wire size")
         return cls(
             data_ref=[int.from_bytes(raw[8 * i : 8 * i + 8], "little") for i in range(5)],
             data_op=[int.from_bytes(raw[40 + 4 * i : 44 + 4 * i], "little") for i in range(5)],
@@ -256,7 +257,10 @@ class Context:
         ):
             _, _, pk, qap = self._pk_cache
         else:
-            pk, n_pl = serde.pk_from_bytes(self.pk)
+            try:
+                pk, n_pl = serde.pk_from_bytes(self.pk)
+            except serde.SerdeError:
+                return ZKLAIM_ERROR
             if n_pl != self.num_payloads:
                 return ZKLAIM_ERROR
             qap = QAP(circuit.cs)
@@ -279,14 +283,19 @@ class Context:
 
         if not self.proof:
             return 1
-        vk = serde.vk_from_bytes(self.vk)
+        try:
+            vk = serde.vk_from_bytes(self.vk)
+            proof = serde.proof_from_bytes(self.proof)
+        except serde.SerdeError:
+            # malformed/off-curve material is an invalid proof, never a
+            # crash (reference status-code convention, zklaim.c:354-358)
+            return 1
         primary = public_inputs_for(
             [
                 (pl.hash, pl.data_ref, pl.op_positions())
                 for pl in self.payloads
             ]
         )
-        proof = serde.proof_from_bytes(self.proof)
         return 0 if verify(vk, primary, proof) else 1
 
     def verify(self) -> int:

@@ -18,10 +18,21 @@ a compact binary layout:
 
 All integers are little-endian u32.  Point-array conversions are
 vectorized numpy/device paths (no per-element Python ints).
+
+Every parse validates its group elements the way libsnark's stream
+operator>> does underneath the reference's libsnark_import_{pk,vk,proof}
+(zklaim/libsnark_wrapper.cpp:140-192): coordinates must be canonical
+(< q) and points must lie on the curve; G2 points parsed one-at-a-time
+(proof B, vk beta/gamma/delta) additionally get an r-order subgroup
+check (G1 has cofactor 1, so on-curve == in-subgroup).  Accepting an
+off-curve or wrong-subgroup proof point is a classic Groth16 soundness
+break.  Malformed input raises SerdeError, which the credential API
+maps to ZKLAIM_* status codes (zklaim.c:354-358 convention).
 """
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -31,13 +42,71 @@ import jax.numpy as jnp
 
 from ..ec import jaxcurve as JC
 from ..ec.hostcurve import CurvePoint, g1_infinity, g2_infinity, g1_point, B_G2
+from ..ff import montgomery as M
 from ..ff.hostfield import Fq, Fq2
 from ..ff.limbs import NUM_LIMBS
+from ..ff.params import Q, R
 from ..groth16.api import Proof, ProvingKey, VerifyingKey
 
 MAGIC_PK = b"ZKPK"
 MAGIC_VK = b"ZKVK"
 MAGIC_PF = b"ZKPF"
+
+
+class SerdeError(ValueError):
+    """Malformed serialized key/proof material."""
+
+
+# -- group-element validation ----------------------------------------------
+
+_Q_WORDS = tuple(
+    int.from_bytes(Q.to_bytes(32, "big")[8 * i : 8 * i + 8], "big")
+    for i in range(4)
+)
+
+
+def _any_coord_ge_q(raw: np.ndarray) -> bool:
+    """raw: (..., 32) uint8 big-endian coordinates; True if any >= q."""
+    w = np.ascontiguousarray(raw).view(">u8").reshape(-1, 4)
+    ge = np.zeros(w.shape[0], dtype=bool)
+    eq = np.ones(w.shape[0], dtype=bool)
+    for i in range(4):
+        ge |= eq & (w[:, i] > _Q_WORDS[i])
+        eq &= w[:, i] == _Q_WORDS[i]
+    return bool((ge | eq).any())
+
+
+def _b_mont(fdeg: int) -> np.ndarray:
+    if fdeg == 1:
+        return M.encode_ints(M.FQ, [3])[0]
+    return np.stack(
+        [M.encode_ints(M.FQ, [B_G2.c0])[0], M.encode_ints(M.FQ, [B_G2.c1])[0]]
+    )
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _off_curve_count(f, pts):
+    """Number of batch points violating y^2 z == x^3 + b z^3.
+
+    The projective equation holds automatically for the canonical
+    infinity encoding (0, 1, 0)."""
+    x, y, z = pts
+    y2z = f.mul(f.mul(y, y), z)
+    x3 = f.mul(f.mul(x, x), x)
+    bz3 = f.mul(
+        jnp.broadcast_to(jnp.asarray(_b_mont(f.deg)), x.shape),
+        f.mul(f.mul(z, z), z),
+    )
+    neq = y2z != f.add(x3, bz3)
+    bad = jnp.any(neq.reshape(neq.shape[0], -1), axis=-1)
+    return jnp.sum(bad)
+
+
+def _check_batch(f, pts, what: str):
+    n_bad = int(_off_curve_count(f, pts))
+    if n_bad:
+        raise SerdeError(f"{what}: {n_bad} point(s) not on curve")
+    return pts
 
 
 # -- numpy limb <-> big-endian byte conversion ------------------------------
@@ -71,23 +140,33 @@ def g2_batch_to_bytes(pts) -> bytes:
 
 
 def g1_batch_from_bytes(raw: bytes, n: int):
+    if len(raw) != 64 * n:
+        raise SerdeError("truncated G1 point array")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, 64)
     x = be_bytes_to_limbs(arr[:, :32])
     y = be_bytes_to_limbs(arr[:, 32:])
     inf = ~np.logical_or(x.any(axis=-1), y.any(axis=-1))
-    return jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
+    if _any_coord_ge_q(arr[~inf].reshape(-1, 32)):
+        raise SerdeError("G1 coordinate out of range")
+    pts = jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
         JC.FQ_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)
     )
+    return _check_batch(JC.FQ_OPS, pts, "G1 batch")
 
 
 def g2_batch_from_bytes(raw: bytes, n: int):
+    if len(raw) != 128 * n:
+        raise SerdeError("truncated G2 point array")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, 128)
     x = be_bytes_to_limbs(arr[:, :64].reshape(n, 2, 32))
     y = be_bytes_to_limbs(arr[:, 64:].reshape(n, 2, 32))
     inf = ~np.logical_or(x.any(axis=(-1, -2)), y.any(axis=(-1, -2)))
-    return jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
+    if _any_coord_ge_q(arr[~inf].reshape(-1, 32)):
+        raise SerdeError("G2 coordinate out of range")
+    pts = jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
         JC.FQ2_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)
     )
+    return _check_batch(JC.FQ2_OPS, pts, "G2 batch")
 
 
 # -- host CurvePoint <-> bytes (single points) ------------------------------
@@ -100,9 +179,18 @@ def g1_point_to_bytes(p: CurvePoint) -> bytes:
 
 
 def g1_point_from_bytes(raw: bytes) -> CurvePoint:
+    if len(raw) != 64:
+        raise SerdeError("bad G1 point length")
     if raw == bytes(64):
         return g1_infinity()
-    return g1_point(int.from_bytes(raw[:32], "big"), int.from_bytes(raw[32:], "big"))
+    x = int.from_bytes(raw[:32], "big")
+    y = int.from_bytes(raw[32:], "big")
+    if x >= Q or y >= Q:
+        raise SerdeError("G1 coordinate out of range")
+    p = g1_point(x, y)
+    if not p.is_on_curve():
+        raise SerdeError("G1 point not on curve")
+    return p
 
 
 def g2_point_to_bytes(p: CurvePoint) -> bytes:
@@ -114,10 +202,22 @@ def g2_point_to_bytes(p: CurvePoint) -> bytes:
 
 
 def g2_point_from_bytes(raw: bytes) -> CurvePoint:
+    """Parse + fully validate a G2 point: on-curve AND r-order subgroup
+    (G2 has a large cofactor; a curve point outside the r-subgroup in a
+    proof/vk breaks Groth16 soundness)."""
+    if len(raw) != 128:
+        raise SerdeError("bad G2 point length")
     if raw == bytes(128):
         return g2_infinity()
     c = [int.from_bytes(raw[i : i + 32], "big") for i in range(0, 128, 32)]
-    return CurvePoint(Fq2(c[0], c[1]), Fq2(c[2], c[3]), B_G2)
+    if any(v >= Q for v in c):
+        raise SerdeError("G2 coordinate out of range")
+    p = CurvePoint(Fq2(c[0], c[1]), Fq2(c[2], c[3]), B_G2)
+    if not p.is_on_curve():
+        raise SerdeError("G2 point not on curve")
+    if not p.mul_raw(R).inf:
+        raise SerdeError("G2 point not in the r-order subgroup")
+    return p
 
 
 # -- proof ------------------------------------------------------------------
@@ -133,7 +233,8 @@ def proof_to_bytes(proof: Proof) -> bytes:
 
 
 def proof_from_bytes(raw: bytes) -> Proof:
-    assert raw[:4] == MAGIC_PF, "bad proof magic"
+    if len(raw) != 260 or raw[:4] != MAGIC_PF:
+        raise SerdeError("bad proof encoding")
     return Proof(
         a=g1_point_from_bytes(raw[4:68]),
         b=g2_point_from_bytes(raw[68:196]),
@@ -156,8 +257,11 @@ def vk_to_bytes(vk: VerifyingKey) -> bytes:
 
 
 def vk_from_bytes(raw: bytes) -> VerifyingKey:
-    assert raw[:4] == MAGIC_VK, "bad vk magic"
+    if len(raw) < 8 or raw[:4] != MAGIC_VK:
+        raise SerdeError("bad vk encoding")
     (n_ic,) = struct.unpack_from("<I", raw, 4)
+    if len(raw) != 8 + 64 + 3 * 128 + 64 * n_ic:
+        raise SerdeError("bad vk length")
     o = 8
     alpha = g1_point_from_bytes(raw[o : o + 64]); o += 64
     beta = g2_point_from_bytes(raw[o : o + 128]); o += 128
@@ -191,8 +295,19 @@ def pk_to_bytes(pk: ProvingKey, num_payloads: int) -> bytes:
 
 
 def pk_from_bytes(raw: bytes) -> tuple[ProvingKey, int]:
-    assert raw[:4] == MAGIC_PK, "bad pk magic"
+    if len(raw) < 20 or raw[:4] != MAGIC_PK:
+        raise SerdeError("bad pk encoding")
     num_payloads, num_vars, num_primary, m = struct.unpack_from("<IIII", raw, 4)
+    n_aux_ = num_vars - num_primary - 1
+    if num_primary >= num_vars or m < 1 or n_aux_ < 0:
+        raise SerdeError("bad pk dimensions")
+    expect = (
+        20 + 3 * 64 + 2 * 128
+        + 64 * num_vars * 2 + 128 * num_vars
+        + 64 * (m - 1) + 64 * n_aux_
+    )
+    if len(raw) != expect:
+        raise SerdeError("bad pk length")
     o = 20
     alpha = g1_point_from_bytes(raw[o : o + 64]); o += 64
     beta1 = g1_point_from_bytes(raw[o : o + 64]); o += 64

@@ -37,7 +37,8 @@ def save_proving_key(path: str, pk_bytes: bytes) -> None:
 
 def load_proving_key(path: str) -> bytes:
     raw = open(path, "rb").read()
-    assert raw[:4] == serde.MAGIC_PK, f"{path}: not a zklaim proving key"
+    if raw[:4] != serde.MAGIC_PK:
+        raise serde.SerdeError(f"{path}: not a zklaim proving key")
     return raw
 
 
@@ -47,7 +48,8 @@ def save_verifying_key(path: str, vk_bytes: bytes) -> None:
 
 def load_verifying_key(path: str) -> bytes:
     raw = open(path, "rb").read()
-    assert raw[:4] == serde.MAGIC_VK, f"{path}: not a zklaim verifying key"
+    if raw[:4] != serde.MAGIC_VK:
+        raise serde.SerdeError(f"{path}: not a zklaim verifying key")
     return raw
 
 

@@ -75,7 +75,14 @@ class CurvePoint:
         return CurvePoint(x3, y3, self.b)
 
     def mul(self, k: int):
-        k %= R
+        return self.mul_raw(k % R)
+
+    def mul_raw(self, k: int):
+        """Scalar multiply WITHOUT reducing k mod the group order.
+
+        mul() assumes r-order points (the normal case); subgroup checks
+        (is r*P == inf?) need the unreduced ladder or the test is
+        vacuous."""
         result = CurvePoint.infinity(self.b)
         addend = self
         while k:
