@@ -1,5 +1,11 @@
 """Data-parallel batched proving: sharded batch == sequential prove."""
 
+import pytest
+
+# Device-kernel module: jit compiles of wide-limb graphs dominate
+# cold runs; excluded from the fast CI suite (make test-fast).
+pytestmark = pytest.mark.slow
+
 import random
 
 import pytest

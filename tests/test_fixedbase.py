@@ -1,5 +1,11 @@
 """Comb fixed-base multiplication vs host scalar-mul."""
 
+import pytest
+
+# Device-kernel module: jit compiles of wide-limb graphs dominate
+# cold runs; excluded from the fast CI suite (make test-fast).
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 import pytest
 

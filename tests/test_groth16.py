@@ -1,5 +1,11 @@
 """Groth16 E2E on a tiny circuit: setup -> prove -> verify + negative paths."""
 
+import pytest
+
+# Device-kernel module: jit compiles of wide-limb graphs dominate
+# cold runs; excluded from the fast CI suite (make test-fast).
+pytestmark = pytest.mark.slow
+
 import random
 
 import pytest

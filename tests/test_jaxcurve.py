@@ -1,5 +1,11 @@
 """Batched TPU Jacobian point ops vs the host golden model (G1 and G2)."""
 
+import pytest
+
+# Device-kernel module: jit compiles of wide-limb graphs dominate
+# cold runs; excluded from the fast CI suite (make test-fast).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

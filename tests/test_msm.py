@@ -1,5 +1,11 @@
 """Pippenger MSM and batched scalar-mul vs the host golden model."""
 
+import pytest
+
+# Device-kernel module: jit compiles of wide-limb graphs dominate
+# cold runs; excluded from the fast CI suite (make test-fast).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,11 @@
 """Radix-2 NTT vs host (python-int) naive DFT over Fr."""
 
+import pytest
+
+# Device-kernel module: jit compiles of wide-limb graphs dominate
+# cold runs; excluded from the fast CI suite (make test-fast).
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

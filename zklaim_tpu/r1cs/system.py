@@ -138,6 +138,12 @@ class WitnessVec:
         return self.small.shape[0]
 
     def __getitem__(self, i):
+        if isinstance(i, slice):
+            big = self.big
+            return [
+                big.get(j, int(self.small[j]))
+                for j in range(*i.indices(len(self)))
+            ]
         v = self.big.get(i)
         if v is not None:
             return v
