@@ -28,6 +28,9 @@ if _PLATFORM == "cpu":
     # (sitecustomize) and overrides JAX_PLATFORMS from the environment;
     # the config API wins.
     jax.config.update("jax_platforms", "cpu")
+    # XLA:CPU LoadedExecutable.serialize segfaults on some large MSM /
+    # prove executables; never write the persistent cache on CPU.
+    jax.config.update("jax_enable_compilation_cache", False)
 
 # Wide-limb field kernels are compile-time heavy (a point-add graph is ~8k
 # StableHLO lines); persist compiled executables across test runs.

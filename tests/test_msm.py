@@ -11,6 +11,21 @@ import pytest
 
 import jax
 
+
+@pytest.fixture(autouse=True)
+def _eager_cpu():
+    """Run this module eagerly on CPU: the fully unrolled flat-MSM graph
+    (hundreds of inlined wide-limb point-adds) takes XLA:CPU tens of
+    minutes to compile and aborts the compiler outright on the G2
+    variant.  Eager execution checks identical numerics in seconds; the
+    jitted program is exercised on real TPUs (bench.py, tools/msm_probe)
+    and by the smaller graphs in test_groth16/test_parallel."""
+    if jax.default_backend() == "cpu":
+        with jax.disable_jit():
+            yield
+    else:
+        yield
+
 from zklaim_tpu.ec import jaxcurve as JC
 from zklaim_tpu.ec.hostcurve import g1_generator, g1_infinity, g2_generator
 from zklaim_tpu.ff.limbs import ints_to_limbs

@@ -348,6 +348,17 @@ def _unpack_point(f, planes):
     )
 
 
+def point_add_planes(fdeg: int, p_planes, q_planes):
+    """Fused complete add directly on SoA plane tuples (3*fdeg arrays of
+    (16, n) u32) -- the kernel's native layout, zero conversions.  Used
+    by the MSM hot path (msm/pippenger)."""
+    n = p_planes[0].shape[1]
+    n_pad = _padded_lanes(n)
+    ins = [_pad_lanes(pl_, n, n_pad) for pl_ in (*p_planes, *q_planes)]
+    outs = _padd_soa(fdeg, n_pad, *ins)
+    return tuple(o[:, :n] for o in outs)
+
+
 def point_add(fops, p, q):
     """Fused complete add; drop-in for jaxcurve.point_add on (N,)-batched
     pytrees.  fops: jaxcurve.FQ_OPS or FQ2_OPS."""

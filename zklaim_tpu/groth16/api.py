@@ -173,15 +173,18 @@ def h_pipeline(qap: QAP):
     fn = getattr(qap, "_h_fn", None)
     if fn is None:
 
-        def run(w_plain):
+        def run(w_plain, dev):
             w_mont = M.to_mont(FR, w_plain)
-            evals = qap.constraint_evals(w_mont)
+            evals = qap.constraint_evals(w_mont, dev["coo"])
             a_ev, b_ev, c_ev = evals
             bad = jnp.any(M.mont_mul(FR, a_ev, b_ev) != c_ev, axis=-1)
-            h_mont = qap.h_coefficients(w_mont, evals)
+            h_mont = qap.h_coefficients(w_mont, evals, dev)
             return M.from_mont(FR, h_mont)[: qap.m - 1], jnp.sum(bad)
 
-        fn = qap._h_fn = jax.jit(run)
+        # COO + twiddles ride as jit arguments, not closed-over HLO
+        # literals (tunnel-fatal at sweep sizes; see qap.device_args)
+        jfn = jax.jit(run)
+        fn = qap._h_fn = lambda w_plain: jfn(w_plain, qap.device_args())
     return fn
 
 

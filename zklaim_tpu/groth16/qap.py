@@ -111,30 +111,53 @@ class QAP:
         return at, bt, ct, z_tau
 
     # -- witness map (device, prover-hot) ---------------------------------
+    #
+    # The COO matrices and NTT tables are passed through jit boundaries
+    # as ARGUMENTS via device_args(): closed-over constants are inlined
+    # into the HLO as literals (~200 MB of COO + ~270 MB of twiddles at
+    # the 20-payload sweep point), which the tunneled compile service
+    # rejects (HTTP 413).  Default None keeps standalone use working.
 
-    def constraint_evals(self, w_mont):
+    def device_args(self):
+        """Large device-resident operands for the jitted witness map."""
+        cached = getattr(self, "_device_args", None)
+        if cached is None:
+            cached = self._device_args = {
+                "coo": self.coo_dev,
+                "ntt": self.domain.device_tables(),
+            }
+        return cached
+
+    def constraint_evals(self, w_mont, coo=None):
         """<A_j,w>, <B_j,w>, <C_j,w> over the full domain: 3 x (m, 16) mont."""
+        coo = coo if coo is not None else self.coo_dev
         out = []
         for name in ("A", "B", "C"):
-            rows, cols, coeffs = self.coo_dev[name]
+            rows, cols, coeffs = coo[name]
             prod = M.mont_mul(FR, coeffs, jnp.take(w_mont, cols, axis=0))
             lazy = jax.ops.segment_sum(prod, rows, num_segments=self.m)
             out.append(M.reduce_wide(FR, lazy))
         return tuple(out)
 
-    def h_coefficients(self, w_mont, evals=None):
+    def h_coefficients(self, w_mont, evals=None, dev=None):
         """H(x) = (A(x)B(x) - C(x)) / Z(x) coefficients, (m, 16) mont.
 
         The last coefficient is identically zero (deg H = m - 2).
         evals: precomputed constraint_evals(w_mont) to share work with
-        the satisfaction check.
+        the satisfaction check.  dev: device_args() passed through a
+        jit boundary.
         """
-        a_ev, b_ev, c_ev = evals if evals is not None else self.constraint_evals(w_mont)
+        ntt_t = dev["ntt"] if dev is not None else self.domain.device_tables()
+        if evals is None:
+            evals = self.constraint_evals(
+                w_mont, dev["coo"] if dev is not None else None
+            )
+        a_ev, b_ev, c_ev = evals
         dom = self.domain
-        a_cos = dom.coset_ntt(dom.intt(a_ev))
-        b_cos = dom.coset_ntt(dom.intt(b_ev))
-        c_cos = dom.coset_ntt(dom.intt(c_ev))
+        a_cos = dom.coset_ntt(dom.intt(a_ev, ntt_t), ntt_t)
+        b_cos = dom.coset_ntt(dom.intt(b_ev, ntt_t), ntt_t)
+        c_cos = dom.coset_ntt(dom.intt(c_ev, ntt_t), ntt_t)
         ab = M.mont_mul(FR, a_cos, b_cos)
         num = M.sub_mod(FR, ab, c_cos)
-        h_cos = M.mont_mul(FR, num, jnp.asarray(dom.z_coset_inv_mont))
-        return dom.coset_intt(h_cos)
+        h_cos = M.mont_mul(FR, num, ntt_t["z_coset_inv"])
+        return dom.coset_intt(h_cos, ntt_t)

@@ -6,42 +6,61 @@ it inside r1cs_gg_ppzksnark generator/prover; SURVEY.md §2.6 row 3, OpenMP
 
 Vectorization strategy (XLA static shapes; no data-dependent scatters,
 and -- critically for TPU -- NO sequential scalar point ops anywhere in
-the per-window path):
+the bucket path):
 
   - Scalars are split into W = 256/c signed c-bit digits (window size
     c | 16 so digits slice cleanly out of 16-bit limbs).  Signed digits
     halve the bucket count: B = 2^(c-1).
-  - One `lax.scan` over windows compiles the window body once.  Per
-    window:
-      1. points are sign-adjusted (negate y where digit < 0; infinity
-         where digit == 0) -- pure elementwise masks;
-      2. `lax.sort_key_val` groups equal digits;
-      3. a binary UPSWEEP tree over the sorted points: level t holds
-         aligned block sums of 2^t points (log2(N) batched adds of
-         halving width, ~N lane-adds total);
-      4. inclusive prefixes are materialized ONLY at the B+1 bucket-tail
-         positions (each prefix = sum of the <= log2(N) aligned blocks
-         named by the set bits of its length -- `_tail_prefix`);
-      5. the weighted bucket total sum_b b*S_b collapses by Abel
-         summation:  with X_b = prefix through the last element of
-         bucket b (X_b = X_{b-1} for empty buckets, X_B = full sum),
+  - ALL windows are processed as ONE flat batch of W*N (point, digit)
+    pairs -- there is no per-window loop.  The flat pipeline:
+      1. composite keys  k = w*(B+1) + |digit|  put the pairs in
+         window-major, bucket-minor order under a single
+         `lax.sort_key_val`; the carried value is a PRE-RESOLVED gather
+         index into the tripled table [P | -P | infinity], so digit
+         sign/zero handling costs nothing after the sort;
+      2. ONE row gather from the PACKED (x‖y‖z) point table
+         materializes the working set (a packed 192/384-byte row
+         gathers ~3x faster than three 64-byte gathers, measured);
+      3. the working set is stored in BIT-REVERSED index order
+         (reversal applied to the (cheap, i32) gather indices via a
+         reshape/transpose decomposition, never to point data): an
+         upsweep tree over bit-reversed storage pairs CONTIGUOUS
+         HALVES at every level  (s_{t+1} = s_t[:w/2] + s_t[w/2:]),
+         eliminating the strided even/odd relayouts that dominated a
+         natural-order tree;
+      4. levels live as struct-of-arrays (16, width) limb planes -- the
+         fused Pallas add kernel's native layout -- so no per-call
+         AoS<->SoA conversion exists anywhere in the hot path;
+      5. GLOBAL inclusive prefixes F(t) of the SORTED order are
+         materialized only at the W*(B+1) bucket-tail positions (each
+         prefix = sum of the <= log2(W*N) aligned blocks named by the
+         set bits of its length; block -> storage position is a static
+         per-level bit twiddle);
+      6. per window the weighted bucket total collapses by Abel
+         summation, and the window-start offsets CANCEL: with
+         t_{w,b} = tail index of bucket b in window w,
 
-            sum_{b=1..B} b * (X_b - X_{b-1})  =  B*X_B - sum_{b<B} X_b.
+            sum_{b=1..B} b * S_{w,b}  =  B*F(t_{w,B}) - sum_{b<B} F(t_{w,b})
 
-         Group subtraction is one negation, so the bucket phase needs
-         only a log2(B) halving-tree reduction on top of the tails --
-         all batched adds, zero sequential scalar work.
-  - B*X_B for all windows at once: (c-1) batched doublings of the (W,)
-    window prefix-totals after the scan.
+         (the -F(end of window w-1) corrections appear B times with
+         both signs).  So the bucket phase is a halving-tree reduction
+         over the (B, W) tail grid -- all batched adds, zero sequential
+         scalar work.
+  - B*F(t_{w,B}) for all windows at once: (c-1) batched doublings of
+    the (W,) totals.
   - Windows are combined MSB-first by a Horner ladder (c doublings + one
     add per window) in a `fori_loop` -- the only remaining sequential
     scalar point ops (256 doublings, inherent to the radix ladder).
+    Chunked MSMs (see msm_pow2) accumulate per-window partials across
+    chunks and run this ladder ONCE at the end.
 
-Cost model: ~N + (B+1)*log2(N) point-add lanes per window.  Two prior
-designs were killed by measurement on real hardware: 2B SEQUENTIAL
-scalar bucket adds per window (~10:1 of wall time; replaced by Abel
-summation) and a full Hillis-Steele prefix scan (N*log2(N) lane-adds
-per window, 8x slower end-to-end than the upsweep+tail form at 2^16).
+Cost model: ~W*N + W*(B+1)*log2(W*N) point-add lanes total, with the
+fused add measured at ~31 ns/lane on v5e.  Prior designs killed by
+measurement on real hardware: sequential bucket adds (~10:1 wall),
+full Hillis-Steele prefix scans (log(N)x the lane-adds), a lax.scan
+over windows (W rounds of narrow launches), and a natural-order tree
+over AoS rows (strided slice relayouts + 3x gather cost ~= 2.5x the
+add time).
 
 Multi-chip: shard the point axis; each chip runs this kernel on its
 slice and the per-chip partial results are combined with one
@@ -50,6 +69,7 @@ all-gather + fold -- see parallel/ for the shard_map wrapper.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -63,7 +83,7 @@ from ..ff.limbs import LIMB_BITS, NUM_LIMBS
 
 
 def _use_pallas() -> bool:
-    """Fused Pallas scan rounds on real TPUs (33 ns/lane vs ~2 us/lane
+    """Fused Pallas kernels on real TPUs (31 ns/lane vs ~2 us/lane
     through XLA); tests opt in on CPU via interpret mode."""
     if os.environ.get("ZKLAIM_MSM_PALLAS") == "0":
         return False
@@ -102,73 +122,218 @@ def signed_digits(scalars, c: int):
     return jnp.stack(out, axis=0)
 
 
-def _backend_add(f):
-    """Batched complete point-add: fused Pallas kernel on TPU, XLA off."""
+# ---------------------------------------------------------------------------
+# Struct-of-arrays plane representation: a point batch of width n is a
+# tuple of 3*deg (16, n) u32 planes (G1: x,y,z; G2: x0,x1,y0,y1,z0,z1).
+# ---------------------------------------------------------------------------
+
+
+def _plane_add(f):
+    """Batched complete add on plane tuples."""
     if _use_pallas():
         from ..ec import pallas_curve as PC
 
-        return lambda p, q: PC.point_add(f, p, q)
-    return lambda p, q: JC.point_add(f, p, q)
+        return lambda p, q: PC.point_add_planes(f.deg, p, q)
+
+    def xla_add(p, q):
+        return _point_to_planes(f, JC.point_add(f, _planes_to_point(f, p), _planes_to_point(f, q)))
+
+    return xla_add
 
 
-def _tail_prefix(f, add, pts, u, n: int):
-    """Inclusive prefix sums of a (n, ...) point batch at tail indices u.
+def _point_to_planes(f, pt):
+    out = []
+    for c in pt:
+        if f.deg == 1:
+            out.append(jnp.swapaxes(c, 0, 1))
+        else:
+            out.append(jnp.swapaxes(c[:, 0, :], 0, 1))
+            out.append(jnp.swapaxes(c[:, 1, :], 0, 1))
+    return tuple(out)
 
-    Work-efficient replacement for a full Hillis-Steele prefix scan
-    (n*log2(n) adds) when prefixes are needed at only |u| positions:
 
-      1. upsweep: level t holds the sums of aligned blocks of 2^t
-         consecutive points -- log2(n) batched adds of HALVING width,
-         ~n lane-adds total;
-      2. the prefix over the first m = u+1 points is the sum of the
-         aligned blocks named by m's set bits (level t, block index
-         (m >> t) - 1) -- log2(n)+1 masked adds at width |u|.
+def _planes_to_point(f, planes):
+    if f.deg == 1:
+        return tuple(jnp.swapaxes(p, 0, 1) for p in planes)
+    coords = []
+    for i in range(3):
+        c0 = jnp.swapaxes(planes[2 * i], 0, 1)
+        c1 = jnp.swapaxes(planes[2 * i + 1], 0, 1)
+        coords.append(jnp.stack([c0, c1], axis=1))
+    return tuple(coords)
 
-    u = -1 (empty prefix) yields the point at infinity for free: m = 0
-    has no set bits, so the accumulator is never touched.
 
-    n need not be a power of two: the batch is padded with points at
-    infinity, which can only land in aligned blocks past every tail.
+def _plane_infinity(f, width: int):
+    inf = JC.point_infinity(f, (1,))
+    planes = _point_to_planes(f, inf)
+    return tuple(jnp.broadcast_to(p, (NUM_LIMBS, width)) for p in planes)
+
+
+def _plane_select(mask, a, b):
+    """mask: (width,) bool; a, b: plane tuples."""
+    return tuple(jnp.where(mask[None, :], x, y) for x, y in zip(a, b))
+
+
+def _plane_take(planes, idx):
+    return tuple(jnp.take(p, idx, axis=1) for p in planes)
+
+
+def _pack_rows(f, points):
+    """Projective AoS pytree (N, ...) -> packed (N, 48*deg) u32 rows."""
+    n = points[0].shape[0]
+    cols = [c.reshape(n, -1) for c in points]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_planes(f, rows):
+    """(M, 48*deg) packed rows -> plane tuple (3*deg x (16, M))."""
+    flat = jnp.swapaxes(rows, 0, 1)                     # (48*deg, M)
+    k = NUM_LIMBS
+    return tuple(flat[i * k : (i + 1) * k] for i in range(3 * f.deg))
+
+
+# ---------------------------------------------------------------------------
+# Bit-reversal helpers
+# ---------------------------------------------------------------------------
+
+
+def _apply_bitrev(v, k: int):
+    """Permute a (2^k,)-vector into bit-reversed index order:
+    out[j] = v[rev_k(j)].  Implemented as a reshape/per-axis-reverse/
+    transpose decomposition (no large gathers)."""
+    dims = []
+    rem = k
+    while rem > 0:
+        s = min(8, rem)
+        dims.append(s)
+        rem -= s
+    x = v.reshape([1 << s for s in dims])
+    for ax, s in enumerate(dims):
+        if s > 1:
+            perm = np.zeros(1 << s, dtype=np.int32)
+            idx = np.arange(1 << s)
+            for b in range(s):
+                perm |= ((idx >> b) & 1) << (s - 1 - b)
+            x = jnp.take(x, jnp.asarray(perm), axis=ax)
+    x = jnp.transpose(x, tuple(reversed(range(len(dims)))))
+    return x.reshape(-1)
+
+
+def _revbits_dyn(idx, nb: int):
+    """Bit-reverse (width nb) each element of an int32 vector."""
+    r = jnp.zeros_like(idx)
+    for b in range(nb):
+        r = r | (((idx >> b) & 1) << (nb - 1 - b))
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Flat bucket phase
+# ---------------------------------------------------------------------------
+
+
+def _window_partials(f, points, scalars, c):
+    """Flat-batch bucket phase: per-window (F(t_B), sum_{b<B} F(t_b)).
+
+    Returns (tot_w, head_w) plane tuples with lane width W.  These are
+    GROUP-LINEAR in the input points, so chunked MSMs may sum them
+    across chunks before the (nonlinear) doubling/Horner finish.
     """
-    n2 = max(1, 1 << (n - 1).bit_length()) if n > 1 else 1
-    if n2 != n:
-        inf = JC.point_infinity(f, (n2 - n,))
-        pts = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=0), pts, inf
-        )
+    n = jax.tree.leaves(points)[0].shape[0]
+    digits = signed_digits(scalars, c)                     # (W, N)
+    W = digits.shape[0]
+    B = 1 << (c - 1)
+    M = W * n
+    k = M.bit_length() - 1
+    if (1 << k) != M:
+        raise ValueError("flat batch W*N must be a power of two (pad N)")
+    add = _plane_add(f)
+
+    # tripled packed table [P | -P | inf]; gather indices pre-resolve
+    # digit sign (row + n) and digit zero (row 2n)
+    x, y, z = points
+    neg_pt = (x, f.neg(y), z)
+    packed = _pack_rows(f, points)
+    packed_neg = _pack_rows(f, neg_pt)
+    inf_row = _pack_rows(f, JC.point_infinity(f, (1,)))
+    table = jnp.concatenate([packed, packed_neg, inf_row], axis=0)
+
+    mag = jnp.abs(digits)
+    keys = (jnp.arange(W, dtype=jnp.int32)[:, None] * (B + 1) + mag).reshape(-1)
+    src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
+    idx = jnp.where(
+        mag == 0, 2 * n, src + jnp.where(digits < 0, n, 0)
+    ).reshape(-1)
+    skeys, sidx = lax.sort_key_val(keys, idx)
+
+    # bit-reversed storage: all upsweep levels pair contiguous halves
+    sidx_br = _apply_bitrev(sidx, k)
+    pts = _unpack_planes(f, jnp.take(table, sidx_br, axis=0))
+
     levels = [pts]
-    w = n2
+    w = M
     while w > 1:
         cur = levels[-1]
-        ev = jax.tree.map(lambda a: a[0::2], cur)
-        od = jax.tree.map(lambda a: a[1::2], cur)
-        levels.append(add(ev, od))
+        lo = tuple(p[:, : w // 2] for p in cur)
+        hi = tuple(p[:, w // 2 :] for p in cur)
+        levels.append(add(lo, hi))
         w //= 2
-    m = u + 1                                             # block counts
-    acc = JC.point_infinity(f, m.shape)
+
+    # global prefixes at every bucket tail: t_{w,b} = last sorted index
+    # with key <= w*(B+1)+b; block j of level t lives at storage
+    # position rev_{k-t}(j)
+    bucket_keys = (
+        jnp.arange(W, dtype=jnp.int32)[:, None] * (B + 1)
+        + jnp.arange(B + 1, dtype=jnp.int32)[None, :]
+    ).reshape(-1)                                          # (W*(B+1),)
+    u = jnp.searchsorted(skeys, bucket_keys, side="right") - 1
+    m = u + 1                                              # prefix lengths
+    acc = _plane_infinity(f, m.shape[0])
     for t, lvl in enumerate(levels):
-        wt = max(1, n2 >> t)
-        idx = jnp.clip((m >> t) - 1, 0, wt - 1)
-        node = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), lvl)
+        wt = max(1, M >> t)
+        nat = jnp.clip((m >> t) - 1, 0, wt - 1)
+        store = _revbits_dyn(nat, k - t) if k - t > 0 else nat
+        node = _plane_take(lvl, store)
         bit = ((m >> t) & 1) == 1
-        acc = JC.point_select(f, bit, add(acc, node), acc)
-    return acc
+        acc = _plane_select(bit, add(acc, node), acc)
 
-
-def _tree_sum(f, pts, width: int, add=None):
-    """Sum a (width, ...) point batch; width must be a power of two.
-
-    log2(width) halving point-adds (each a separate, shrinking-width
-    instantiation -- widths differ so a fori_loop cannot apply)."""
-    if add is None:
-        add = _backend_add(f)
+    # Abel summation per window; window-start corrections cancel (see
+    # module docstring), leaving  B*F(t_{w,B}) - sum_{b<B} F(t_{w,b}).
+    grid = tuple(p.reshape(NUM_LIMBS, W, B + 1) for p in acc)
+    tot_w = tuple(p[:, :, B] for p in grid)
+    heads = tuple(
+        jnp.swapaxes(p[:, :, :B], 1, 2).reshape(NUM_LIMBS, B * W)
+        for p in grid
+    )                                                      # b-major, w-minor
+    width = B
     while width > 1:
         half = width // 2
-        lo = jax.tree.map(lambda a: a[:half], pts)
-        hi = jax.tree.map(lambda a: a[half:], pts)
-        pts = add(lo, hi)
+        lo = tuple(p[:, : half * W] for p in heads)
+        hi = tuple(p[:, half * W :] for p in heads)
+        heads = add(lo, hi)
         width = half
-    return jax.tree.map(lambda a: a[0], pts)
+    return tot_w, heads                                    # (16, W) planes
+
+
+def _finish(f, tot_planes, head_planes, c):
+    """(16, W) plane partials -> final point: doublings + Horner ladder."""
+    tot_w = _planes_to_point(f, tot_planes)
+    head_w = _planes_to_point(f, head_planes)
+    W = jax.tree.leaves(tot_w)[0].shape[0]
+    window_pts = JC.point_add(
+        f, _dbl_k(f, tot_w, c - 1), JC.point_neg(f, head_w)
+    )
+
+    def horner(w, acc):
+        acc = _dbl_k(f, acc, c)
+        pw = jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, W - 1 - w, 0, keepdims=False),
+            window_pts,
+        )
+        return JC.point_add(f, acc, pw)
+
+    init = JC.point_infinity(f)
+    return lax.fori_loop(0, W, horner, init)
 
 
 def _dbl_k(f, p, k: int):
@@ -178,24 +343,29 @@ def _dbl_k(f, p, k: int):
     return lax.fori_loop(0, k, lambda i, a: JC.point_double(f, a), p)
 
 
-# Max point-axis batch per compiled window kernel.  Two reasons:
-#   1. device limits: very wide G2 window kernels have hit TPU "kernel
-#      fault" crashes at batch 2^15; 2^14 is stable.  G1 is stable at 2^15.
+# Max point-axis batch per compiled flat pipeline.  Two reasons:
+#   1. working-set size: the flat batch is W*chunk gathered rows plus
+#      roughly the same again in upsweep levels (~3x chunk * 192B * W);
 #   2. shape bucketing: any larger MSM runs as a lax.scan over fixed
 #      chunks, so arbitrarily sized inputs share ONE compiled kernel.
-MAX_CHUNK = {1: 1 << 15, 2: 1 << 14}
+MAX_CHUNK = {1: 1 << 16, 2: 1 << 15}
 
 
 def _msm_chunked(f, pts_c, sc_c, c):
-    """Scan msm over (k, chunk, ...) stacked chunks, summing partials."""
+    """Scan the bucket phase over (k, chunk, ...) stacked chunks, summing
+    the W-wide window partials; ONE Horner finish at the end."""
+    W = 256 // c
+    add = _plane_add(f)
 
     def body(acc, xs):
         pts, sc = xs
-        part = msm(f, pts, sc, c)
-        return JC.point_add(f, acc, part), None
+        tot, head = _window_partials(f, pts, sc, c)
+        acc_t, acc_h = acc
+        return (add(acc_t, tot), add(acc_h, head)), None
 
-    acc, _ = lax.scan(body, JC.point_infinity(f), (pts_c, sc_c))
-    return acc
+    init = (_plane_infinity(f, W), _plane_infinity(f, W))
+    (tot, head), _ = lax.scan(body, init, (pts_c, sc_c))
+    return _finish(f, tot, head, c)
 
 
 def msm_pow2(f, points, scalars, c: int = 8):
@@ -205,7 +375,11 @@ def msm_pow2(f, points, scalars, c: int = 8):
     n2 = max(2, 1 << (n - 1).bit_length()) if n > 1 else 2
     chunk = MAX_CHUNK[f.deg]
     if n2 > chunk:
-        n2 = ((n + chunk - 1) // chunk) * chunk
+        # chunk-count rounded to a power of two: every MSM in a sweep
+        # then hits one of log-many compiled (k, chunk) programs instead
+        # of recompiling the (expensive) flat pipeline per exact size
+        k = (n + chunk - 1) // chunk
+        n2 = chunk * (1 << (k - 1).bit_length())
     if n2 != n:
         inf = JC.point_infinity(f, (n2 - n,))
         points = jax.tree.map(
@@ -224,48 +398,13 @@ def msm(f, points, scalars, c: int = 8):
     """Multi-scalar multiplication: sum_i scalars[i] * points[i].
 
     f: JC.FQ_OPS (G1) or JC.FQ2_OPS (G2) -- pass statically under jit.
-    points: projective pytree, batch (N,).
+    points: projective pytree, batch (N,); N * (256/c) must be a power
+    of two (callers pad via msm_pow2).
     scalars: (N, 16) u32 plain-domain (NOT Montgomery) Fr limbs.
     Returns a projective point pytree with scalar batch shape ().
     """
-    n = jax.tree.leaves(points)[0].shape[0]
-    digits = signed_digits(scalars, c)                     # (W, N)
-    W = digits.shape[0]
-    B = 1 << (c - 1)
-    bucket_vals = jnp.arange(0, B + 1, dtype=jnp.int32)    # tails of b = 0..B
-    add = _backend_add(f)
-
-    def window_body(carry, d_w):
-        mag = jnp.abs(d_w)
-        x, y, z = points
-        y = f.select(d_w < 0, f.neg(y), y)
-        # digit 0 -> point at infinity (0, y, 0); y != 0 for curve points
-        zeros = f.zeros(JC._batch_shape(f, z))
-        x = f.select(mag == 0, zeros, x)
-        z = f.select(mag == 0, zeros, z)
-        keys, order = lax.sort_key_val(mag, jnp.arange(n, dtype=jnp.int32))
-        pts = jax.tree.map(lambda a: jnp.take(a, order, axis=0), (x, y, z))
-        # X_b = prefix at the last element with key <= b (identity if none)
-        u = jnp.searchsorted(keys, bucket_vals, side="right") - 1   # (B+1,)
-        xb = _tail_prefix(f, add, pts, u, n)
-        # Abel summation: window total = B*X_B - sum_{b=0..B-1} X_b
-        head = _tree_sum(f, jax.tree.map(lambda a: a[:B], xb), B, add)
-        total = jax.tree.map(lambda a: a[B], xb)                    # X_B
-        return carry, (total, head)
-
-    _, (tot_w, head_w) = lax.scan(window_body, None, digits)   # (W, ...) each
-    window_pts = JC.point_add(f, _dbl_k(f, tot_w, c - 1), JC.point_neg(f, head_w))
-
-    def horner(w, acc):
-        acc = _dbl_k(f, acc, c)
-        pw = jax.tree.map(
-            lambda a: lax.dynamic_index_in_dim(a, W - 1 - w, 0, keepdims=False),
-            window_pts,
-        )
-        return JC.point_add(f, acc, pw)
-
-    init = JC.point_infinity(f)
-    return lax.fori_loop(0, W, horner, init)
+    tot_w, head_w = _window_partials(f, points, scalars, c)
+    return _finish(f, tot_w, head_w, c)
 
 
 # Module-level jit wrappers: a fresh jax.jit() per call would re-trace the

@@ -105,6 +105,25 @@ class NTTDomain:
     # between the transform axis and the trailing limb axis, i.e. input
     # shape (n, ..., 16) -- the batched form the distributed four-step
     # NTT needs (parallel/ntt.py).
+    #
+    # Twiddle tables: every transform takes an optional `tables=` pytree
+    # (from device_tables()) so jitted callers can pass them as REAL
+    # ARGUMENTS.  Closed-over constants -- numpy or device arrays alike
+    # (verified on jax 0.9) -- are inlined into the HLO as literals:
+    # ~270 MB of program text at n = 2^22, which the tunneled compile
+    # service rejects outright (HTTP 413).  The default (tables=None)
+    # falls back to inlined literals, which is fine for small domains
+    # and standalone tests.
+
+    def _dev(self, name: str):
+        cache = self.__dict__.setdefault("_dev_cache", {})
+        if name not in cache:
+            val = getattr(self, name)
+            if isinstance(val, list):
+                cache[name] = [jnp.asarray(v) for v in val]
+            else:
+                cache[name] = jnp.asarray(val)
+        return cache[name]
 
     def _butterflies(self, x, tables):
         n = self.n
@@ -112,7 +131,7 @@ class NTTDomain:
         ones = (1,) * len(rest)
         for s in range(self.k):
             m = 1 << (s + 1)
-            tw = jnp.asarray(tables[s])                      # (m/2, 16)
+            tw = tables[s]                                   # (m/2, 16)
             tw = tw.reshape((m // 2,) + ones + (NUM_LIMBS,))
             v = x.reshape((n // m, 2, m // 2) + rest + (NUM_LIMBS,))
             a, b = v[:, 0], v[:, 1]
@@ -121,30 +140,46 @@ class NTTDomain:
             x = x.reshape((n,) + rest + (NUM_LIMBS,))
         return x
 
-    def ntt(self, x):
-        """Coefficients -> evaluations on <omega>.  x: (n, ..., 16) mont."""
-        x = jnp.take(x, jnp.asarray(self.bitrev), axis=0)
-        return self._butterflies(x, self.stage_tw)
+    def device_tables(self):
+        """All device-resident tables as one pytree, for passing through
+        a jit boundary as arguments (see class comment)."""
+        return {
+            "bitrev": self._dev("bitrev"),
+            "tw": tuple(self._dev("stage_tw")),
+            "tw_inv": tuple(self._dev("stage_tw_inv")),
+            "n_inv": self._dev("n_inv_mont"),
+            "shift": self._dev("shift_pows"),
+            "shift_inv": self._dev("shift_pows_inv"),
+            "z_coset_inv": self._dev("z_coset_inv_mont"),
+        }
 
-    def intt(self, y):
+    def ntt(self, x, tables=None):
+        """Coefficients -> evaluations on <omega>.  x: (n, ..., 16) mont."""
+        t = tables if tables is not None else self.device_tables()
+        x = jnp.take(x, t["bitrev"], axis=0)
+        return self._butterflies(x, t["tw"])
+
+    def intt(self, y, tables=None):
         """Evaluations on <omega> -> coefficients."""
-        y = jnp.take(y, jnp.asarray(self.bitrev), axis=0)
-        out = self._butterflies(y, self.stage_tw_inv)
-        n_inv = jnp.asarray(self.n_inv_mont)
-        return M.mont_mul(FR, out, n_inv)
+        t = tables if tables is not None else self.device_tables()
+        y = jnp.take(y, t["bitrev"], axis=0)
+        out = self._butterflies(y, t["tw_inv"])
+        return M.mont_mul(FR, out, t["n_inv"])
 
     def _bshape(self, x):
         return (self.n,) + (1,) * (x.ndim - 2) + (NUM_LIMBS,)
 
-    def coset_ntt(self, x):
+    def coset_ntt(self, x, tables=None):
         """Coefficients -> evaluations on g·<omega>."""
-        x = M.mont_mul(FR, x, jnp.asarray(self.shift_pows).reshape(self._bshape(x)))
-        return self.ntt(x)
+        t = tables if tables is not None else self.device_tables()
+        x = M.mont_mul(FR, x, t["shift"].reshape(self._bshape(x)))
+        return self.ntt(x, t)
 
-    def coset_intt(self, y):
+    def coset_intt(self, y, tables=None):
         """Evaluations on g·<omega> -> coefficients."""
-        c = self.intt(y)
-        return M.mont_mul(FR, c, jnp.asarray(self.shift_pows_inv).reshape(self._bshape(c)))
+        t = tables if tables is not None else self.device_tables()
+        c = self.intt(y, t)
+        return M.mont_mul(FR, c, t["shift_inv"].reshape(self._bshape(c)))
 
 
 @lru_cache(maxsize=None)

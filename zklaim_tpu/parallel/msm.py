@@ -7,6 +7,11 @@ the point axis (embarrassingly parallel -- the expensive part), then the
 per-chip partial results (ONE projective point each, ~3 KiB) are
 all-gathered and folded with the complete point-add.  Communication is
 O(chips), independent of N.
+
+Works over 1-D ('shards') meshes and 2-D (host, chip) meshes from
+parallel.mesh.make_host_mesh: pass the axis name(s) the point dimension
+is sharded over; the final fold's all-gather then spans ICI within a
+host and DCN across hosts -- ~3 KiB per chip either way.
 """
 
 from __future__ import annotations
@@ -23,13 +28,24 @@ from ..ec import jaxcurve as JC
 from ..msm.pippenger import msm
 
 
-def sharded_msm(mesh, f, points, scalars, c: int = 8, axis: str = "shards"):
+def _axis_size(mesh, axis) -> int:
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    n = 1
+    for a in axis:
+        n *= mesh.shape[a]
+    return n
+
+
+def sharded_msm(mesh, f, points, scalars, c: int = 8, axis="shards"):
     """MSM with the point axis sharded over `mesh`.
 
     points: projective pytree (N, ...); scalars (N, 16) plain limbs.
-    N must be divisible by the mesh size.  Returns a replicated point.
+    axis: mesh axis name, or tuple of names for multi-axis (host, chip)
+    sharding.  N must be divisible by the total shard count.  Returns a
+    replicated point.
     """
-    n_shards = mesh.shape[axis]
+    n_shards = _axis_size(mesh, axis)
     n = jax.tree.leaves(points)[0].shape[0]
     if n % n_shards:
         raise ValueError(f"point count {n} not divisible by {n_shards} shards")
@@ -49,6 +65,11 @@ def sharded_msm(mesh, f, points, scalars, c: int = 8, axis: str = "shards"):
     def body(pts_local, scal_local):
         part = msm(f, pts_local, scal_local, c)
         parts = jax.tree.map(lambda a: lax.all_gather(a, axis), part)
+        if not isinstance(axis, str):
+            # multi-axis gather stacks one axis per name; flatten
+            parts = jax.tree.map(
+                lambda a: a.reshape((n_shards,) + a.shape[len(axis):]), parts
+            )
 
         def fold(i, acc):
             p_i = jax.tree.map(lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False), parts)

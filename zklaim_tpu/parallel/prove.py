@@ -82,37 +82,42 @@ def batched_prove(
     aux_pow2 = jax.tree.leaves(l_pts)[0].shape[0]
     n_primary1 = pk.num_primary + 1
 
-    def per_witness(wm, wp):
-        h_mont = qap.h_coefficients(wm)                      # (m, 16)
+    def per_witness(wm, wp, tabs, dev):
+        h_mont = qap.h_coefficients(wm, dev=dev)             # (m, 16)
         h_plain = M.from_mont(FR, h_mont)
         h_sc = jnp.pad(h_plain, ((0, h_pow2 - qap.m), (0, 0)))
         w_sc = jnp.pad(wp, ((0, n_pow2 - qap.num_vars), (0, 0)))
         aux = wp[n_primary1:]
         aux_sc = jnp.pad(aux, ((0, aux_pow2 - n_aux), (0, 0)))
+        a_p, b1_p, b2_p, h_p, l_p = tabs
         return (
-            msm(JC.FQ_OPS, a_pts, w_sc, msm_c),
-            msm(JC.FQ_OPS, b1_pts, w_sc, msm_c),
-            msm(JC.FQ2_OPS, b2_pts, w_sc, msm_c),
-            msm(JC.FQ_OPS, h_pts, h_sc, msm_c),
-            msm(JC.FQ_OPS, l_pts, aux_sc, msm_c),
+            msm(JC.FQ_OPS, a_p, w_sc, msm_c),
+            msm(JC.FQ_OPS, b1_p, w_sc, msm_c),
+            msm(JC.FQ2_OPS, b2_p, w_sc, msm_c),
+            msm(JC.FQ_OPS, h_p, h_sc, msm_c),
+            msm(JC.FQ_OPS, l_p, aux_sc, msm_c),
         )
 
+    # pk tables + COO/twiddles ride as jit arguments (in_axes=None),
+    # not closed-over constants: captured constants are inlined into
+    # the HLO as literals, which the tunneled compile service rejects
+    # at sweep sizes (HTTP 413) -- see groth16.qap.device_args.
+    tabs = (a_pts, b1_pts, b2_pts, h_pts, l_pts)
     batch_sharding = NamedSharding(mesh, P(axis))
     fn = jax.jit(
-        jax.vmap(per_witness),
-        in_shardings=(batch_sharding, batch_sharding),
+        jax.vmap(per_witness, in_axes=(0, 0, None, None)),
+        in_shardings=(batch_sharding, batch_sharding, None, None),
         out_shardings=None,
     )
-    # Persistent-cache serialization of this multi-device executable
-    # segfaults inside jaxlib (XLA:CPU LoadedExecutable.serialize); skip
-    # cache writes for this one program.
-    cache_was = bool(jax.config.jax_enable_compilation_cache)
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        with mesh:
-            evs = fn(jnp.asarray(w_mont), jnp.asarray(w_plain))
-    finally:
-        jax.config.update("jax_enable_compilation_cache", cache_was)
+    # (Persistent-cache serialization of XLA:CPU executables segfaults;
+    # the cache is disabled wholesale on the CPU backend by
+    # utils.jaxconfig.setup_cache / tests/conftest.py, so no per-call
+    # toggling is needed here.)
+    with mesh:
+        evs = fn(
+            jnp.asarray(w_mont), jnp.asarray(w_plain),
+            tabs, qap.device_args(),
+        )
     ev_a_b, ev_b1_b, ev_b2_b, ev_h_b, ev_l_b = evs
 
     a_host = JC.proj_to_host_points(JC.FQ_OPS, ev_a_b)
