@@ -116,12 +116,19 @@ def bench_ntt(log2n: int = 16, runs: int = 3):
     # compile service's upload limit at 2^22 (see ntt.radix2 docstring)
     tables = dom.device_tables()
     run = jax.jit(dom.ntt)
-    np.asarray(run(coeffs, tables)).ravel()[:1]
+
+    def _sync(out):
+        # device-side slice, then a bytes-sized host pull: syncing via
+        # np.asarray(out) shipped the WHOLE array through the tunnel
+        # (~67 MB at 2^20) and dominated the r4 measurements
+        np.asarray(jax.device_get(out[:1, :8]))
+
+    _sync(run(coeffs, tables))
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
         out = run(coeffs, tables)
-        np.asarray(out).ravel()[:1]
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return {
         "metric": f"ntt_fr_2^{log2n}_elems_per_sec",

@@ -75,3 +75,39 @@ def test_pairing_product():
 def test_pairing_infinity():
     assert pairing(g1_infinity(), g2_generator()) == Fq12.ONE
     assert pairing(g1_generator(), g2_infinity()) == Fq12.ONE
+
+
+def test_fast_miller_matches_generic(rng):
+    """The twisted-coordinate flat-int Miller loop == the all-Fq12
+    golden formulation (pairing.py fast path vs *_generic)."""
+    from zklaim_tpu.ec.pairing import (
+        final_exponentiation,
+        final_exponentiation_generic,
+        miller_loop,
+        miller_loop_generic,
+    )
+
+    p1 = g1_generator() * rng.randrange(1, R)
+    q2 = g2_generator() * rng.randrange(1, R)
+    ml_fast = miller_loop(q2, p1)
+    ml_gold = miller_loop_generic(q2, p1)
+    assert ml_fast == ml_gold
+    assert final_exponentiation(ml_fast) == final_exponentiation_generic(
+        ml_gold
+    )
+
+
+def test_multi_miller_is_product_of_millers(rng):
+    from zklaim_tpu.ec.pairing import miller_loop, miller_loop_multi
+
+    pairs = [
+        (g1_generator() * rng.randrange(1, R),
+         g2_generator() * rng.randrange(1, R))
+        for _ in range(3)
+    ]
+    prod = Fq12.ONE
+    for p, q in pairs:
+        prod = prod * miller_loop(q, p)
+    assert miller_loop_multi(pairs) == prod
+    # infinity pairs are skipped (contribute 1)
+    assert miller_loop_multi(pairs + [(g1_infinity(), g2_generator())]) == prod

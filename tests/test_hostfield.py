@@ -113,3 +113,53 @@ def test_batch_inverse():
     invs = batch_inverse(vals, Q)
     for v, iv in zip(vals, invs):
         assert (v * iv) % Q == 1
+
+
+def test_fq12_frobenius_and_cyclotomic(rng):
+    """frobenius == generic q-power; GS squaring == generic square in
+    the cyclotomic subgroup; pow_cyclotomic == pow."""
+    from zklaim_tpu.ff.params import Q
+
+    def rand12():
+        return Fq12(
+            Fq6(*[Fq2(rng.randrange(Q), rng.randrange(Q)) for _ in range(3)]),
+            Fq6(*[Fq2(rng.randrange(Q), rng.randrange(Q)) for _ in range(3)]),
+        )
+
+    f = rand12()
+    assert Fq12.from_flat(f.to_flat()) == f
+    assert f.frobenius() == f.pow(Q)
+    cyc = f.conjugate() * f.inverse()
+    cyc = cyc.frobenius().frobenius() * cyc
+    assert cyc * cyc.conjugate() == Fq12.ONE     # conj == inverse there
+    assert cyc.cyclotomic_square() == cyc.square()
+    e = rng.randrange(1 << 80)
+    assert cyc.pow_cyclotomic(e) == cyc.pow(e)
+
+
+def test_fq12flat_matches_tower(rng):
+    """Every fq12flat op == the corresponding tower-class op."""
+    from zklaim_tpu.ff import fq12flat as F
+    from zklaim_tpu.ff.params import Q
+
+    def rand12():
+        return Fq12(
+            Fq6(*[Fq2(rng.randrange(Q), rng.randrange(Q)) for _ in range(3)]),
+            Fq6(*[Fq2(rng.randrange(Q), rng.randrange(Q)) for _ in range(3)]),
+        )
+
+    a, b = rand12(), rand12()
+    fa, fb = F.from_fq12(a), F.from_fq12(b)
+    assert F.to_fq12(fa) == a
+    assert F.to_fq12(F.f_mul(fa, fb)) == a * b
+    assert F.to_fq12(F.f_sqr(fa)) == a.square()
+    assert F.to_fq12(F.f_conj(fa)) == a.conjugate()
+    assert F.to_fq12(F.f_frob(fa)) == a.frobenius()
+    assert F.f_is_one(F.from_fq12(Fq12.ONE))
+    cyc = a.conjugate() * a.inverse()
+    cyc = cyc.frobenius().frobenius() * cyc
+    fc = F.from_fq12(cyc)
+    assert F.to_fq12(F.f_cyc_sqr(fc)) == cyc.square()
+    e = rng.randrange(1 << 64)
+    assert F.to_fq12(F.f_pow_cyc(fc, e)) == cyc.pow(e)
+    assert F.to_fq12(F.f_pow_cyc(fc, -e)) == cyc.pow(e).conjugate()

@@ -3,8 +3,11 @@
 Times CUMULATIVE PREFIXES of msm/pippenger._window_partials (each
 program ends in a tiny u32 checksum so only bytes-sized results cross
 the tunneled device->host link); successive differences attribute wall
-time to each stage: digits, composite sort, gather+masks, upsweep tree,
-tail prefixes, Abel reduction.
+time to each stage: digits, composite sort, packed gather (bit-reversed
+storage), upsweep tree, bucket-tail prefixes, Abel reduction, and the
+doubling/Horner finish.  Stage bodies are copied from the shipped
+pipeline (pippenger.py:_window_partials) so the attribution matches the
+production program exactly.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ def main():
     ap.add_argument("--log2n", type=int, default=16)
     ap.add_argument("--c", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--g2", action="store_true")
     args = ap.parse_args()
 
     from zklaim_tpu.ec import jaxcurve as JC
@@ -38,17 +42,19 @@ def main():
     from zklaim_tpu.ff.params import R
     from zklaim_tpu.msm import pippenger as P
 
-    f = JC.FQ_OPS
+    f = JC.FQ2_OPS if args.g2 else JC.FQ_OPS
     n = 1 << args.log2n
     c = args.c
     W = 256 // c
     B = 1 << (c - 1)
     M = W * n
-    print(f"n=2^{args.log2n} c={c} W={W} B={B} flat M=2^{M.bit_length()-1}")
+    k = M.bit_length() - 1
+    print(f"n=2^{args.log2n} c={c} W={W} B={B} flat M=2^{k}")
 
-    from zklaim_tpu.ec.hostcurve import g1_generator
+    from zklaim_tpu.ec.hostcurve import g1_generator, g2_generator
 
-    gen_dev = JC.host_points_to_proj(f, [g1_generator()])
+    gen = g2_generator() if args.g2 else g1_generator()
+    gen_dev = JC.host_points_to_proj(f, [gen])
     tiled = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), gen_dev)
     small = jnp.asarray(u64s_to_limbs(np.arange(1, n + 1, dtype=np.uint64)))
     points = jax.jit(JC.scalar_mul, static_argnums=0)(f, tiled, small)
@@ -56,69 +62,84 @@ def main():
     rng = random.Random(20260820)
     scalars = jnp.asarray(ints_to_limbs([rng.randrange(R) for _ in range(n)]))
 
-    add = P._backend_add(f)
+    add = P._plane_add(f)
     bucket_keys = (
         jnp.arange(W, dtype=jnp.int32)[:, None] * (B + 1)
         + jnp.arange(B + 1, dtype=jnp.int32)[None, :]
     ).reshape(-1)
 
+    # --- stage bodies mirroring _window_partials -------------------------
+
     def stage_digits(points, scalars):
         return (P.signed_digits(scalars, c),)
 
-    def stage_sort(points, scalars):
-        (digits,) = stage_digits(points, scalars)
+    def _sort(points, scalars):
+        digits = P.signed_digits(scalars, c)
         mag = jnp.abs(digits)
         keys = (jnp.arange(W, dtype=jnp.int32)[:, None] * (B + 1) + mag).reshape(-1)
-        src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n)).reshape(-1)
-        vals = src * 2 + (digits < 0).reshape(-1).astype(jnp.int32)
-        return lax.sort_key_val(keys, vals)
+        src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (W, n))
+        idx = jnp.where(
+            mag == 0, 2 * n, src + jnp.where(digits < 0, n, 0)
+        ).reshape(-1)
+        return lax.sort_key_val(keys, idx)
+
+    def stage_sort(points, scalars):
+        return _sort(points, scalars)
+
+    def _gather(points, scalars):
+        skeys, sidx = _sort(points, scalars)
+        x, y, z = points
+        neg_pt = (x, f.neg(y), z)
+        packed = P._pack_rows(f, points)
+        packed_neg = P._pack_rows(f, neg_pt)
+        inf_row = P._pack_rows(f, JC.point_infinity(f, (1,)))
+        table = jnp.concatenate([packed, packed_neg, inf_row], axis=0)
+        sidx_br = P._apply_bitrev(sidx, k)
+        pts = P._unpack_planes(f, jnp.take(table, sidx_br, axis=0))
+        return pts, skeys
 
     def stage_gather(points, scalars):
-        skeys, svals = stage_sort(points, scalars)
-        order = svals >> 1
-        neg = (svals & 1) == 1
-        is_zero = (skeys % (B + 1)) == 0
-        x, y, z = points
-        x = jnp.take(x, order, axis=0)
-        y = jnp.take(y, order, axis=0)
-        z = jnp.take(z, order, axis=0)
-        y = f.select(neg, f.neg(y), y)
-        zeros = f.zeros(JC._batch_shape(f, z))
-        x = f.select(is_zero, zeros, x)
-        z = f.select(is_zero, zeros, z)
-        return (x, y, z), skeys
+        return _gather(points, scalars)
 
     def _upsweep(pts):
         levels = [pts]
         w = M
         while w > 1:
             cur = levels[-1]
-            ev = jax.tree.map(lambda a: a[0::2], cur)
-            od = jax.tree.map(lambda a: a[1::2], cur)
-            levels.append(add(ev, od))
+            lo = tuple(p[:, : w // 2] for p in cur)
+            hi = tuple(p[:, w // 2 :] for p in cur)
+            levels.append(add(lo, hi))
             w //= 2
         return levels
 
     def stage_upsweep(points, scalars):
-        pts, skeys = stage_gather(points, scalars)
-        return tuple(_upsweep(pts)[1:]), skeys
+        pts, skeys = _gather(points, scalars)
+        return tuple(_upsweep(pts)[-1]), skeys
 
-    def stage_tails(points, scalars):
-        pts, skeys = stage_gather(points, scalars)
+    def _tails(points, scalars):
+        pts, skeys = _gather(points, scalars)
         levels = _upsweep(pts)
         u = jnp.searchsorted(skeys, bucket_keys, side="right") - 1
         m = u + 1
-        acc = JC.point_infinity(f, m.shape)
+        acc = P._plane_infinity(f, m.shape[0])
         for t, lvl in enumerate(levels):
             wt = max(1, M >> t)
-            idx = jnp.clip((m >> t) - 1, 0, wt - 1)
-            node = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), lvl)
+            nat = jnp.clip((m >> t) - 1, 0, wt - 1)
+            store = P._revbits_dyn(nat, k - t) if k - t > 0 else nat
+            node = P._plane_take(lvl, store)
             bit = ((m >> t) & 1) == 1
-            acc = JC.point_select(f, bit, add(acc, node), acc)
-        return (acc,)
+            acc = P._plane_select(bit, add(acc, node), acc)
+        return acc
+
+    def stage_tails(points, scalars):
+        return _tails(points, scalars)
 
     def stage_partials(points, scalars):
         return P._window_partials(f, points, scalars, c)
+
+    def stage_full(points, scalars):
+        tot, head = P._window_partials(f, points, scalars, c)
+        return P._finish(f, tot, head, c)
 
     def checksum(fn):
         def run(points, scalars):
@@ -133,10 +154,11 @@ def main():
     for name, fn in [
         ("digits", stage_digits),
         ("+sort", stage_sort),
-        ("+gather/masks", stage_gather),
+        ("+gather/bitrev", stage_gather),
         ("+upsweep", stage_upsweep),
         ("+tails", stage_tails),
         ("+abel (partials)", stage_partials),
+        ("+finish (FULL)", stage_full),
     ]:
         run = checksum(fn)
         np.asarray(run(points, scalars))
@@ -147,17 +169,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"  {name:20s} cum {best*1e3:9.2f} ms   (+{(best-prev)*1e3:8.2f} ms)", flush=True)
         prev = best
-
-    run = jax.jit(P.msm, static_argnums=(0, 3))
-    out = run(f, points, scalars, c)
-    np.asarray(out[0])
-    best = float("inf")
-    for _ in range(args.runs):
-        t0 = time.perf_counter()
-        out = run(f, points, scalars, c)
-        np.asarray(out[0])
-        best = min(best, time.perf_counter() - t0)
-    print(f"  {'FULL msm':20s} cum {best*1e3:9.2f} ms", flush=True)
+    print(f"  throughput @FULL: {n/prev/1e3:.1f}k pts/s")
 
 
 if __name__ == "__main__":

@@ -43,6 +43,18 @@ def int_to_limbs(x: int, n: int = NUM_LIMBS) -> np.ndarray:
 def ints_to_limbs(xs, n: int = NUM_LIMBS) -> np.ndarray:
     """Iterable of ints -> (len, n) uint32 limb array."""
     xs = list(xs)
+    if n == NUM_LIMBS:
+        # int.to_bytes + frombuffer: C-speed conversion (the Python
+        # limb loop was ~1.5 s per 131k scalars in the setup profile)
+        try:
+            buf = b"".join(x.to_bytes(2 * NUM_LIMBS, "little") for x in xs)
+        except OverflowError as e:
+            raise ValueError("integer does not fit in limb array") from e
+        return (
+            np.frombuffer(buf, dtype="<u2")
+            .reshape(len(xs), NUM_LIMBS)
+            .astype(np.uint32)
+        )
     out = np.empty((len(xs), n), dtype=np.uint32)
     for j, x in enumerate(xs):
         for i in range(n):

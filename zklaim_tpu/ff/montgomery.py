@@ -155,6 +155,24 @@ def mont_mul(spec: FieldSpec, a, b):
     return _cond_sub_p(spec, canon)
 
 
+def mont_mul_bulk(spec: FieldSpec, a, b):
+    """mont_mul with large 2-D (N, 16) batches routed through the fused
+    Pallas kernel on TPU (~50x the XLA lowering, measured 410 ns/elem ->
+    <8; see ntt/pallas_ntt.py).  Any other shape/backend falls back to
+    the XLA path.  Semantics identical."""
+    if (
+        a.ndim == 2
+        and b.shape == a.shape
+        and a.shape[0] >= 4096
+        and a.shape[0] % 128 == 0
+    ):
+        from ..ntt import pallas_ntt as PN
+
+        if PN.use_pallas():
+            return PN.mont_mul_aos(spec, a, b)
+    return mont_mul(spec, a, b)
+
+
 def add_mod(spec: FieldSpec, a, b):
     """(a + b) mod p, canonical in/out."""
     canon, _carry = carry_canonical(a.astype(U32) + b.astype(U32))
@@ -260,13 +278,11 @@ def from_mont(spec: FieldSpec, x):
 
 def encode_ints(spec: FieldSpec, xs) -> np.ndarray:
     """Host ints -> Montgomery-domain limb array (len(xs), 16), via numpy."""
-    out = np.empty((len(xs), NUM_LIMBS), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        v = (x % spec.p) * spec.r_mod % spec.p
-        for i in range(NUM_LIMBS):
-            out[j, i] = v & LIMB_MASK
-            v >>= LIMB_BITS
-    return out
+    from .limbs import ints_to_limbs
+
+    return ints_to_limbs(
+        [(x % spec.p) * spec.r_mod % spec.p for x in xs]
+    )
 
 
 def decode_ints(spec: FieldSpec, limbs) -> list:

@@ -129,6 +129,16 @@ def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
         t_pow = t_pow * tau % R
 
     g1, g2 = g1_generator(), g2_generator()
+    # ONE batched device call for every G1 table (a, b, h, l, ic
+    # concatenated): one compile + one dispatch instead of five (the r4
+    # setup profile was dominated by per-call compile/dispatch overhead)
+    segs = [at, bt, h_scalars, l_scalars, ic_scalars]
+    bounds = np.cumsum([0] + [len(s) for s in segs])
+    all_g1 = _fixed_base(JC.FQ_OPS, "g1", [x for s in segs for x in s])
+    a_dev, b1_dev, h_dev, l_dev, ic_dev = (
+        jax.tree.map(lambda a: a[bounds[i] : bounds[i + 1]], all_g1)
+        for i in range(5)
+    )
     pk = ProvingKey(
         num_vars=qap.num_vars,
         num_primary=qap.num_primary,
@@ -138,13 +148,12 @@ def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
         delta_g1=g1 * delta,
         beta_g2=g2 * beta,
         delta_g2=g2 * delta,
-        a_g1=_fixed_base(JC.FQ_OPS, "g1", at),
-        b_g1=_fixed_base(JC.FQ_OPS, "g1", bt),
+        a_g1=a_dev,
+        b_g1=b1_dev,
         b_g2=_fixed_base(JC.FQ2_OPS, "g2", bt),
-        h_g1=_fixed_base(JC.FQ_OPS, "g1", h_scalars),
-        l_g1=_fixed_base(JC.FQ_OPS, "g1", l_scalars),
+        h_g1=h_dev,
+        l_g1=l_dev,
     )
-    ic_dev = _fixed_base(JC.FQ_OPS, "g1", ic_scalars)
     vk = VerifyingKey(
         alpha_g1=g1 * alpha,
         beta_g2=g2 * beta,

@@ -134,7 +134,7 @@ class QAP:
         out = []
         for name in ("A", "B", "C"):
             rows, cols, coeffs = coo[name]
-            prod = M.mont_mul(FR, coeffs, jnp.take(w_mont, cols, axis=0))
+            prod = M.mont_mul_bulk(FR, coeffs, jnp.take(w_mont, cols, axis=0))
             lazy = jax.ops.segment_sum(prod, rows, num_segments=self.m)
             out.append(M.reduce_wide(FR, lazy))
         return tuple(out)
@@ -157,7 +157,7 @@ class QAP:
         a_cos = dom.coset_ntt(dom.intt(a_ev, ntt_t), ntt_t)
         b_cos = dom.coset_ntt(dom.intt(b_ev, ntt_t), ntt_t)
         c_cos = dom.coset_ntt(dom.intt(c_ev, ntt_t), ntt_t)
-        ab = M.mont_mul(FR, a_cos, b_cos)
+        ab = M.mont_mul_bulk(FR, a_cos, b_cos)
         num = M.sub_mod(FR, ab, c_cos)
-        h_cos = M.mont_mul(FR, num, ntt_t["z_coset_inv"])
+        h_cos = M.mont_mul_bulk(FR, num, jnp.broadcast_to(ntt_t["z_coset_inv"], num.shape))
         return dom.coset_intt(h_cos, ntt_t)

@@ -82,6 +82,18 @@ from ..ec import jaxcurve as JC
 from ..ff.limbs import LIMB_BITS, NUM_LIMBS
 
 
+def _ladder_max() -> int:
+    """Largest point count routed to the O(1)-graph ladder path.
+
+    The flat pipeline's fully unrolled upsweep tree is the fast path on
+    real TPUs but its traced graph grows with W*N — XLA:CPU takes
+    minutes to compile even tiny instances (and the SPMD partitioner is
+    ~20x worse).  Small MSMs (per-shard slices, tiny test circuits,
+    the driver dryrun) instead use msm_ladder: a 256-step fori_loop
+    whose graph is ~3 point-ops regardless of N."""
+    return int(os.environ.get("ZKLAIM_MSM_LADDER_MAX", "512"))
+
+
 def _use_pallas() -> bool:
     """Fused Pallas kernels on real TPUs (31 ns/lane vs ~2 us/lane
     through XLA); tests opt in on CPU via interpret mode."""
@@ -394,17 +406,68 @@ def msm_pow2(f, points, scalars, c: int = 8):
     return _msm_chunked_jit(f, pts_c, sc_c, c)
 
 
+def msm_ladder(f, points, scalars):
+    """Small-N MSM with an O(1)-size traced graph.
+
+    Batched 256-step double-and-add computes scalars[i]*points[i] for
+    all lanes at once (one fori_loop: 1 double + 1 add in the graph),
+    then a fori_loop halving fold combines the N partial points: level
+    t adds lane i+half into lane i via a dynamic roll, so the fold is
+    ONE more point-add in the graph regardless of N.  No power-of-two
+    or divisibility requirements (padding lanes are infinity, absorbed
+    by the complete RCB formulas).  Slower per point than the flat
+    pipeline at scale, but XLA:CPU compiles it in seconds at any N,
+    which the unrolled tree is not (see _ladder_max).
+    """
+    per = JC.scalar_mul(f, points, scalars)
+    n = jax.tree.leaves(per)[0].shape[0]
+    n2 = max(1, 1 << (n - 1).bit_length()) if n > 1 else 1
+    if n2 != n:
+        inf = JC.point_infinity(f, (n2 - n,))
+        per = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), per, inf
+        )
+    levels = n2.bit_length() - 1
+    if levels == 0:
+        return jax.tree.map(lambda a: a[0], per)
+
+    def fold(t, cur):
+        half = n2 >> (t + 1)
+        rolled = jax.tree.map(lambda a: jnp.roll(a, -half, axis=0), cur)
+        return JC.point_add(f, cur, rolled)
+
+    out = lax.fori_loop(0, levels, fold, per)
+    return jax.tree.map(lambda a: a[0], out)
+
+
+def msm_flat(f, points, scalars, c: int = 8):
+    """The flat single-sort Pippenger pipeline (module docstring).
+
+    N * (256/c) must be a power of two (callers pad via msm_pow2).
+    Traced-graph size grows with W*N — TPU-only in practice; use msm()
+    for automatic small-N dispatch.
+    """
+    tot_w, head_w = _window_partials(f, points, scalars, c)
+    return _finish(f, tot_w, head_w, c)
+
+
 def msm(f, points, scalars, c: int = 8):
     """Multi-scalar multiplication: sum_i scalars[i] * points[i].
 
     f: JC.FQ_OPS (G1) or JC.FQ2_OPS (G2) -- pass statically under jit.
-    points: projective pytree, batch (N,); N * (256/c) must be a power
-    of two (callers pad via msm_pow2).
-    scalars: (N, 16) u32 plain-domain (NOT Montgomery) Fr limbs.
-    Returns a projective point pytree with scalar batch shape ().
+    points: projective pytree, batch (N,); scalars (N, 16) u32
+    plain-domain (NOT Montgomery) Fr limbs.  Returns a projective point
+    pytree with scalar batch shape ().
+
+    Dispatch: N <= ZKLAIM_MSM_LADDER_MAX (default 512) uses the
+    compile-cheap ladder; larger N uses the flat Pippenger pipeline
+    (which then requires N*(256/c) to be a power of two — msm_pow2
+    pads arbitrary sizes).
     """
-    tot_w, head_w = _window_partials(f, points, scalars, c)
-    return _finish(f, tot_w, head_w, c)
+    n = jax.tree.leaves(points)[0].shape[0]
+    if n <= _ladder_max():
+        return msm_ladder(f, points, scalars)
+    return msm_flat(f, points, scalars, c)
 
 
 # Module-level jit wrappers: a fresh jax.jit() per call would re-trace the
