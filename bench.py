@@ -154,6 +154,12 @@ def bench_prover(runs: int = 3):
     ctx.hash_payloads(rng)
     t0 = time.perf_counter()
     assert ctx.trusted_setup(rng) == ZKLAIM_OK
+    issuer_cold_s = time.perf_counter() - t0
+    # steady-state issuer: the first call pays one-time XLA/Mosaic
+    # compiles (persisted to the on-disk cache); production issuers --
+    # and every later process -- run warm
+    t0 = time.perf_counter()
+    assert ctx.trusted_setup(rng) == ZKLAIM_OK
     issuer_s = time.perf_counter() - t0
     ctx.sign(signing.keygen(rng), rng)
     assert ctx.proof_generate(rng) == ZKLAIM_OK      # warmup (compiles)
@@ -186,6 +192,12 @@ def bench_prover(runs: int = 3):
             "vs_baseline": 1.0,
         },
         {
+            "metric": "issuer_trusted_setup_1payload_cold",
+            "value": round(issuer_cold_s * 1e3, 1),
+            "unit": "ms",
+            "vs_baseline": 1.0,
+        },
+        {
             "metric": "verifier_latency_1payload",
             "value": round(verifier_s * 1e3, 1),
             "unit": "ms",
@@ -212,6 +224,48 @@ def bench_prover(runs: int = 3):
     ]
 
 
+def bench_batched(batch: int = 8, runs: int = 3):
+    """Data-parallel batched proving throughput on the credential
+    circuit (single chip: the batch axis pipelines the five MSMs and
+    the NTT pipeline across proofs inside one compiled program)."""
+    import random
+
+    from zklaim_tpu.claims.api import Context, Payload, ZKLAIM_OK, ZkOp
+    from zklaim_tpu.claims.circuit import ZKlaimCircuit
+    from zklaim_tpu.groth16.api import setup, verify
+    from zklaim_tpu.parallel.mesh import make_mesh
+    from zklaim_tpu.parallel.prove import batched_prove
+
+    rng = random.Random(7)
+    ctx = Context()
+    pl = Payload()
+    pl.set_attr(23, 0)
+    pl.data_ref = [18, 0, 0, 0, 0]
+    pl.data_op = [ZkOp.GREATER_OR_EQ] + [ZkOp.NOOP] * 4
+    ctx.add_payload(pl)
+    ctx.hash_payloads(rng)
+    circ = ZKlaimCircuit(1)
+    pk, vk, qap = setup(circ.cs, rng)
+    inputs = [(p.pre, p.data_ref, p.op_positions()) for p in ctx.payloads]
+    w = circ.witness(inputs)
+    witnesses = [w] * batch
+    mesh = make_mesh(1)
+    proofs = batched_prove(mesh, pk, qap, witnesses, rng)      # warmup
+    primary = circ.public_inputs(inputs)
+    assert all(verify(vk, primary, p) for p in proofs[:1])
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        batched_prove(mesh, pk, qap, witnesses, rng)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "metric": f"groth16_proofs_per_sec_batch{batch}",
+        "value": round(batch / best, 3),
+        "unit": "proofs/s",
+        "vs_baseline": 1.0,
+    }
+
+
 def bench_all(out_path: str):
     rows = []
 
@@ -221,12 +275,13 @@ def bench_all(out_path: str):
 
     for log2n in (16, 20, 22):
         push(bench_msm(log2n, kind="g1"))
-    for log2n in (16, 20):
+    for log2n in (16, 20, 22):
         push(bench_msm(log2n, kind="g2"))
     for log2n in (16, 20, 22):
         push(bench_ntt(log2n))
     for row in bench_prover():
         push(row)
+    push(bench_batched())
     with open(out_path, "w") as fh:
         json.dump(rows, fh, indent=1)
     headline = next(r for r in rows if r["metric"] == "g1_msm_2^16_points_per_sec")

@@ -19,15 +19,35 @@ import argparse
 import json
 import os
 import sys
+
+sys.path.insert(0, ".")
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    "--xla_force_host_platform_device_count=8",
-)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# virtual shards are tiny; route every local MSM through the
+# compile-cheap ladder so the harness measures the scale-out structure
+os.environ.setdefault("ZKLAIM_MSM_LADDER_MAX", "16384")
 
 import numpy as np
+
+import jax
+
+# the axon TPU plugin overrides JAX_PLATFORMS from the environment; the
+# config API wins (same dance as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
+
+
+def _sync(tree):
+    "block_until_ready can return early on tunneled backends; pull bytes."
+    for leaf in __import__("jax").tree.leaves(tree):
+        np.asarray(leaf.ravel()[:4])
+    return tree
 
 
 def main():
@@ -36,7 +56,6 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    import jax
     import jax.numpy as jnp
 
     from zklaim_tpu.ec import jaxcurve as JC
@@ -59,7 +78,7 @@ def main():
     small = jnp.asarray(
         u64s_to_limbs(np.arange(1, n + 1, dtype=np.uint64))
     )
-    points = jax.block_until_ready(
+    points = _sync(
         jax.jit(JC.scalar_mul, static_argnums=0)(JC.FQ_OPS, tiled, small)
     )
     scalars = jnp.asarray(ints_to_limbs([rng.randrange(R) for _ in range(n)]))
@@ -70,7 +89,7 @@ def main():
         if S > len(jax.devices()):
             break
         mesh = make_mesh(S)
-        run = lambda: jax.block_until_ready(
+        run = lambda: _sync(
             sharded_msm(mesh, JC.FQ_OPS, points, scalars, c=8)
         )
         run()                                   # compile
@@ -106,7 +125,7 @@ def main():
         mesh = make_mesh(S)
         plan = ShardedNTT(mesh, n)
         x = plan.to_matrix(coeffs)
-        run = lambda: jax.block_until_ready(plan.intt_t(plan.ntt_t(x)))
+        run = lambda: _sync(plan.intt_t(plan.ntt_t(x)))
         run()
         t0 = time.perf_counter()
         run()

@@ -150,10 +150,16 @@ def main(argv=None):
     b = sub.add_parser("bench", help="payload sweep, reference CSV schema")
     b.add_argument("--max-payloads", type=int, default=3)
     b.add_argument("--runs", type=int, default=1)
+    b.add_argument("--out", default=None,
+                   help="CSV file (default stdout); rows stream as they finish")
     args = ap.parse_args(argv)
     if args.cmd == "demo":
         return demo(seed=args.seed)
-    bench(max_payloads=args.max_payloads, runs=args.runs)
+    if args.out:
+        with open(args.out, "w") as fh:
+            bench(max_payloads=args.max_payloads, runs=args.runs, out=fh)
+    else:
+        bench(max_payloads=args.max_payloads, runs=args.runs)
     return 0
 
 

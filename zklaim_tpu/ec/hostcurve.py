@@ -15,6 +15,116 @@ from ..ff.hostfield import Fq, Fq2, Fq6, Fq12, XI_FQ2
 from ..ff.params import G1_B, G1_GEN, G2_GEN_X, G2_GEN_Y, Q, R
 
 
+def _jac_mul_fq(px: int, py: int, k: int):
+    """Plain-int Jacobian ladder over Fq (G1): the class-based generic
+    ladder spends most of its time in Fq.__init__/%-dispatch; raw ints
+    run ~10x faster (sub-ms per 256-bit scalar).  Returns affine
+    (x, y) ints or None for infinity."""
+    X = Y = Z = None
+    for bit in bin(k)[2:]:
+        if Z is not None and Z != 0:
+            if Y == 0:
+                Z = 0
+            else:
+                a = X * X % Q
+                b = Y * Y % Q
+                c = b * b % Q
+                t = X + b
+                d = 2 * (t * t - a - c) % Q
+                e = 3 * a
+                x3 = (e * e - 2 * d) % Q
+                y3 = (e * (d - x3) - 8 * c) % Q
+                z3 = 2 * Y * Z % Q
+                X, Y, Z = x3, y3, z3
+        if bit == "1":
+            if Z is None or Z == 0:
+                X, Y, Z = px, py, 1
+            else:
+                zz = Z * Z % Q
+                u2 = px * zz % Q
+                s2 = py * Z % Q * zz % Q
+                h = (u2 - X) % Q
+                r = (s2 - Y) % Q
+                if h == 0:
+                    if r == 0:
+                        # double instead
+                        a = X * X % Q
+                        b = Y * Y % Q
+                        c = b * b % Q
+                        t = X + b
+                        d = 2 * (t * t - a - c) % Q
+                        e = 3 * a
+                        x3 = (e * e - 2 * d) % Q
+                        y3 = (e * (d - x3) - 8 * c) % Q
+                        z3 = 2 * Y * Z % Q
+                        X, Y, Z = x3, y3, z3
+                    else:
+                        Z = 0
+                else:
+                    hh = h * h % Q
+                    i = 4 * hh % Q
+                    j = h * i % Q
+                    r2 = 2 * r
+                    v = X * i % Q
+                    x3 = (r2 * r2 - j - 2 * v) % Q
+                    y3 = (r2 * (v - x3) - 2 * Y * j) % Q
+                    zh = Z + h
+                    z3 = (zh * zh - zz - hh) % Q
+                    X, Y, Z = x3, y3, z3
+    if Z is None or Z == 0:
+        return None
+    zinv = pow(Z, -1, Q)
+    zinv2 = zinv * zinv % Q
+    return (X * zinv2 % Q, Y * zinv2 % Q * zinv % Q)
+
+
+def _jac_double(X1, Y1, Z1):
+    """Jacobian doubling on y^2 = x^3 + b (a = 0); generic over Fq/Fq2."""
+    if Y1.is_zero():
+        return (X1, Y1, type(Z1).ZERO)
+    a = X1.square()
+    b = Y1.square()
+    c = b.square()
+    d = (X1 + b).square() - a - c
+    d = d + d
+    e = a + a + a
+    f = e.square()
+    x3 = f - d - d
+    c8 = c + c
+    c8 = c8 + c8
+    c8 = c8 + c8
+    y3 = e * (d - x3) - c8
+    z3 = (Y1 * Z1) * 2
+    return (x3, y3, z3)
+
+
+def _jac_mixed_add(acc, x2, y2):
+    """(jacobian) + (affine) on an a = 0 curve; returns jacobian."""
+    X1, Y1, Z1 = acc
+    if Z1.is_zero():
+        return (x2, y2, type(x2).ONE)
+    z1z1 = Z1.square()
+    u2 = x2 * z1z1
+    s2 = y2 * Z1 * z1z1
+    h = u2 - X1
+    r = s2 - Y1
+    if h.is_zero():
+        if r.is_zero():
+            return _jac_double(X1, Y1, Z1)
+        return (type(x2).ONE, type(x2).ONE, type(x2).ZERO)
+    hh = h.square()
+    i = hh + hh
+    i = i + i
+    j = h * i
+    r = r + r
+    v = X1 * i
+    x3 = r.square() - j - v - v
+    yj = Y1 * j
+    y3 = r * (v - x3) - yj - yj
+    z3 = (Z1 + h).square() - z1z1 - hh
+    return (x3, y3, z3)
+
+
 class CurvePoint:
     """Affine point (or infinity) on y^2 = x^3 + b over a generic field.
 
@@ -82,15 +192,36 @@ class CurvePoint:
 
         mul() assumes r-order points (the normal case); subgroup checks
         (is r*P == inf?) need the unreduced ladder or the test is
-        vacuous."""
-        result = CurvePoint.infinity(self.b)
-        addend = self
-        while k:
-            if k & 1:
-                result = result + addend
-            addend = addend.double()
-            k >>= 1
-        return result
+        vacuous.
+
+        Jacobian ladder with ONE field inversion at the end: the affine
+        double-and-add paid ~2 modular inversions per bit (~12 ms per
+        256-bit scalar mul), which dominated the verifier's IC combination
+        and the prover's host finishing."""
+        if self.inf or k == 0:
+            return CurvePoint.infinity(self.b)
+        if type(self.x) is Fq:
+            out = _jac_mul_fq(self.x.v, self.y.v, k)
+            if out is None:
+                return CurvePoint.infinity(self.b)
+            return CurvePoint(Fq(out[0]), Fq(out[1]), self.b)
+        one = type(self.x).ONE
+        x2, y2 = self.x, self.y              # fixed affine addend
+        acc = None                           # jacobian accumulator
+        for bit in bin(k)[2:]:               # MSB-first
+            if acc is not None:
+                acc = _jac_double(*acc)
+            if bit == "1":
+                if acc is None:
+                    acc = (x2, y2, one)
+                else:
+                    acc = _jac_mixed_add(acc, x2, y2)
+        if acc is None or acc[2].is_zero():
+            return CurvePoint.infinity(self.b)
+        X1, Y1, Z1 = acc
+        zinv = Z1.inverse()
+        zinv2 = zinv.square()
+        return CurvePoint(X1 * zinv2, Y1 * zinv2 * zinv, self.b)
 
     __mul__ = mul
     __rmul__ = mul

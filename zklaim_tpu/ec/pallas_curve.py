@@ -348,6 +348,43 @@ def _unpack_point(f, planes):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _padd_halves_soa(fdeg, n, *planes):
+    """planes: 3*fdeg arrays (16, n); returns lo-half + hi-half summed,
+    3*fdeg arrays (16, n/2).  Each input plane is read TWICE through
+    different block index maps (tile i and tile i + n/2/tile), so the
+    halving-tree reduction needs no XLA slice copies at all."""
+    half = n // 2
+    tile = min(LANES, half)
+    kh = half // tile
+    spec_lo = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_hi = pl.BlockSpec(
+        (16, tile), lambda i: (0, i + kh), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((16, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((16, half), jnp.uint32) for _ in range(3 * fdeg)
+    )
+    consts, const_specs = _const_operands(fdeg, tile)
+    return pl.pallas_call(
+        functools.partial(_add_kernel, fdeg),
+        grid=(kh,),
+        in_specs=const_specs + [spec_lo] * (3 * fdeg) + [spec_hi] * (3 * fdeg),
+        out_specs=(out_spec,) * (3 * fdeg),
+        out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(*consts, *planes, *planes)
+
+
+def point_add_halves(fdeg: int, planes):
+    """sum of contiguous halves: planes (3*fdeg x (16, n)) ->
+    (3*fdeg x (16, n/2)).  Fast path for the MSM upsweep tree; requires
+    n/2 to be a lane-tileable width (callers guard n >= 256)."""
+    n = planes[0].shape[1]
+    return _padd_halves_soa(fdeg, n, *planes)
+
+
 def point_add_planes(fdeg: int, p_planes, q_planes):
     """Fused complete add directly on SoA plane tuples (3*fdeg arrays of
     (16, n) u32) -- the kernel's native layout, zero conversions.  Used

@@ -219,12 +219,21 @@ def prove(pk: ProvingKey, qap: QAP, witness, rng, msm_c: int = 8) -> Proof:
             f"unsatisfied constraint: {qap.cs.first_unsatisfied(witness)}"
         )
 
-    ev_a = _single(msm_pow2(JC.FQ_OPS, pk.a_g1, w_plain, msm_c))
-    ev_b1 = _single(msm_pow2(JC.FQ_OPS, pk.b_g1, w_plain, msm_c))
-    ev_b2 = _single(msm_pow2(JC.FQ2_OPS, pk.b_g2, w_plain, msm_c))
-    ev_h = _single(msm_pow2(JC.FQ_OPS, pk.h_g1, h_plain, msm_c))
+    # dispatch all five MSM programs asynchronously, then pull every
+    # result in ONE device_get: per-point decode paid ~3 tunnel round
+    # trips each (~350 ms of the r4 prover's 1.0 s wall)
     aux_plain = w_plain[pk.num_primary + 1 :]
-    ev_l = _single(msm_pow2(JC.FQ_OPS, pk.l_g1, aux_plain, msm_c))
+    devs = [
+        msm_pow2(JC.FQ_OPS, pk.a_g1, w_plain, msm_c),
+        msm_pow2(JC.FQ_OPS, pk.b_g1, w_plain, msm_c),
+        msm_pow2(JC.FQ2_OPS, pk.b_g2, w_plain, msm_c),
+        msm_pow2(JC.FQ_OPS, pk.h_g1, h_plain, msm_c),
+        msm_pow2(JC.FQ_OPS, pk.l_g1, aux_plain, msm_c),
+    ]
+    host = jax.device_get(devs)
+    ev_a, ev_b1, ev_b2, ev_h, ev_l = (
+        _single(p) for p in host
+    )
 
     a_pt = pk.alpha_g1 + ev_a + pk.delta_g1 * r
     b2_pt = pk.beta_g2 + ev_b2 + pk.delta_g2 * s

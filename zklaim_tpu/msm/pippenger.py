@@ -153,6 +153,32 @@ def _plane_add(f):
     return xla_add
 
 
+def _plane_add_halves(f):
+    """cur (16, w) planes -> lo + hi halves summed, (16, w/2) planes.
+
+    On TPU the halves are fetched by block index maps inside ONE kernel
+    (ec/pallas_curve.point_add_halves): the XLA lo/hi slice materializa-
+    tions that previously book-ended every upsweep level (2/3 of the
+    level's HBM traffic) disappear."""
+    if _use_pallas():
+        from ..ec import pallas_curve as PC
+
+        def pallas_halves(cur):
+            return PC.point_add_halves(f.deg, cur)
+
+        return pallas_halves
+
+    add = _plane_add(f)
+
+    def xla_halves(cur):
+        w = cur[0].shape[1]
+        lo = tuple(p[:, : w // 2] for p in cur)
+        hi = tuple(p[:, w // 2 :] for p in cur)
+        return add(lo, hi)
+
+    return xla_halves
+
+
 def _point_to_planes(f, pt):
     out = []
     for c in pt:
@@ -282,13 +308,20 @@ def _window_partials(f, points, scalars, c):
     sidx_br = _apply_bitrev(sidx, k)
     pts = _unpack_planes(f, jnp.take(table, sidx_br, axis=0))
 
+    # slice-free fused halves while the width stays lane-tileable; the
+    # narrow tail levels fall back to the generic add
+    add_halves = _plane_add_halves(f)
+
     levels = [pts]
     w = M
     while w > 1:
         cur = levels[-1]
-        lo = tuple(p[:, : w // 2] for p in cur)
-        hi = tuple(p[:, w // 2 :] for p in cur)
-        levels.append(add(lo, hi))
+        if _use_pallas() and w >= 256:
+            levels.append(add_halves(cur))
+        else:
+            lo = tuple(p[:, : w // 2] for p in cur)
+            hi = tuple(p[:, w // 2 :] for p in cur)
+            levels.append(add(lo, hi))
         w //= 2
 
     # global prefixes at every bucket tail: t_{w,b} = last sorted index
@@ -320,9 +353,12 @@ def _window_partials(f, points, scalars, c):
     width = B
     while width > 1:
         half = width // 2
-        lo = tuple(p[:, : half * W] for p in heads)
-        hi = tuple(p[:, half * W :] for p in heads)
-        heads = add(lo, hi)
+        if _use_pallas() and half * W >= 256 and (half * W) % 128 == 0:
+            heads = add_halves(heads)
+        else:
+            lo = tuple(p[:, : half * W] for p in heads)
+            hi = tuple(p[:, half * W :] for p in heads)
+            heads = add(lo, hi)
         width = half
     return tot_w, heads                                    # (16, W) planes
 

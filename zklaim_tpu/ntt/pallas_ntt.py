@@ -97,32 +97,56 @@ def _eligible(n: int) -> bool:
     return n >= 256 and (n // 2) % 128 == 0
 
 
-def _local_stage_kernel(p_ref, np_ref, x_ref, tw_ref, o_ref, *, half):
-    """Butterfly stage with pair distance < TILE: partners fetched with
-    lane rolls, outcomes selected by lane-position parity.
+def _local_multi_kernel(p_ref, np_ref, x_ref, tw_ref, o_ref, *, stages):
+    """ALL butterfly stages with pair distance < tile, fused: the tile
+    is loaded once, `stages` consecutive roll/select rounds run on it in
+    VMEM, and it is written once.  One Mosaic kernel instead of one per
+    stage: ~12x fewer HBM round trips for the local stages AND ~12x
+    fewer kernel compiles (the per-stage version put the cold prover at
+    ~570 s of Mosaic compilation).
 
-    For an 'a' lane j ((j & half) == 0): y = x + tw * x[j+half];
-    for a 'b' lane:                      y = x[j-half] - tw * x.
-    tw is laid out full-width with tw[b-lane] == tw[partner a-lane], so
-    both cases read the same twiddle plane.  Two multiplies per lane
-    instead of one (each lane computes its own outcome) -- compute is
-    ~0.8 ns/lane; the win is ZERO XLA interleave glue between stages.
-    Tile-edge roll wraparound lanes are never selected (the first
-    half-block is all 'a', the last all 'b').
+    Per stage idx (m = 2^(idx+1), half = 2^idx), for an 'a' lane j
+    ((j & half) == 0): y = x + tw * x[j+half]; for a 'b' lane:
+    y = x[j-half] - tw * x.  tw planes are packed side by side,
+    (16, stages*tile), tile-periodic.  Tile-edge roll wraparound lanes
+    are never selected (first half-block all 'a', last all 'b').
     """
     p, npv = p_ref[:], np_ref[:]
     x = x_ref[:]
-    tw = tw_ref[:]
     tile = x.shape[1]
-    down = pltpu.roll(x, shift=tile - half, axis=1)   # x[j + half]
-    up = pltpu.roll(x, shift=half, axis=1)            # x[j - half]
-    prod_down = PF.mont_mul(tw, down, p, npv)
-    prod_self = PF.mont_mul(tw, x, p, npv)
-    s = PF.add_mod(x, prod_down, p)
-    d = PF.sub_mod(up, prod_self, p)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=1)
-    is_a = (lane & half) == 0                   # half = m/2, a power of two
-    o_ref[:] = jnp.where(is_a, s, d)
+    for idx in range(stages):
+        half = 1 << idx
+        tw = tw_ref[:, idx * tile : (idx + 1) * tile]
+        down = pltpu.roll(x, shift=tile - half, axis=1)   # x[j + half]
+        up = pltpu.roll(x, shift=half, axis=1)            # x[j - half]
+        prod_down = PF.mont_mul(tw, down, p, npv)
+        prod_self = PF.mont_mul(tw, x, p, npv)
+        s = PF.add_mod(x, prod_down, p)
+        d = PF.sub_mod(up, prod_self, p)
+        x = jnp.where((lane & half) == 0, s, d)
+    o_ref[:] = x
+
+
+def _stages_local(spec, x, tw_pack, stages):
+    """Run the first `stages` butterfly stages (all pairs within one
+    lane tile) as a single fused kernel."""
+    n = x.shape[1]
+    tile = min(LANES, n)
+    p_col, np_col = PF.field_consts(spec)
+    return pl.pallas_call(
+        functools.partial(_local_multi_kernel, stages=stages),
+        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n), jnp.uint32),
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((NUM_LIMBS, 1), lambda i: (0, 0))] * 2
+        + [
+            pl.BlockSpec((NUM_LIMBS, tile), lambda i: (0, i)),
+            pl.BlockSpec((NUM_LIMBS, stages * tile), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NUM_LIMBS, tile), lambda i: (0, i)),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(jnp.asarray(p_col), jnp.asarray(np_col), x, tw_pack)
 
 
 def _global_stage_kernel(p_ref, np_ref, xs_ref, xp_ref, tw_ref, o_ref, *, K):
@@ -143,26 +167,6 @@ def _global_stage_kernel(p_ref, np_ref, xs_ref, xp_ref, tw_ref, o_ref, *, K):
         lambda: PF.add_mod(self_, PF.mont_mul(tw, part, p, npv), p),
         lambda: PF.sub_mod(part, PF.mont_mul(tw, self_, p, npv), p),
     )
-
-
-def _stage_local(spec, x, tw_tile, half):
-    """All pairs within one lane tile (m <= tile)."""
-    n = x.shape[1]
-    tile = min(LANES, n)
-    p_col, np_col = PF.field_consts(spec)
-    return pl.pallas_call(
-        functools.partial(_local_stage_kernel, half=half),
-        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n), jnp.uint32),
-        grid=(n // tile,),
-        in_specs=[pl.BlockSpec((NUM_LIMBS, 1), lambda i: (0, 0))] * 2
-        + [
-            pl.BlockSpec((NUM_LIMBS, tile), lambda i: (0, i)),
-            pl.BlockSpec((NUM_LIMBS, tile), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((NUM_LIMBS, tile), lambda i: (0, i)),
-        compiler_params=_COMPILER_PARAMS,
-        interpret=_interpret(),
-    )(jnp.asarray(p_col), jnp.asarray(np_col), x, tw_tile)
 
 
 def _stage_global(spec, x, tw_soa, m):
@@ -203,19 +207,26 @@ def ntt_soa(dom, x_soa, tables, inverse: bool):
     tile = min(LANES, n)
     x = x_soa
     key = "tw_inv" if inverse else "tw"
-    for s in range(dom.k):
+
+    def tile_pattern(s):
+        # per m-block the a half and the b half both carry the block's
+        # (m/2) twiddles; tile-periodic since m <= tile
         m = 1 << (s + 1)
-        tw = tables[key][s]                       # (m/2, 16) AoS
-        tw_soa = jnp.swapaxes(tw, 0, 1)           # (16, m/2)
-        if m <= tile:
-            # full-tile twiddle pattern: per m-block, the a half and the
-            # b half both carry the block's (m/2) twiddles
-            pat = jnp.broadcast_to(
-                tw_soa[:, None, None, :], (NUM_LIMBS, tile // m, 2, m // 2)
-            ).reshape(NUM_LIMBS, tile)
-            x = _stage_local(FR, x, pat, m // 2)
-        else:
-            x = _stage_global(FR, x, tw_soa, m)
+        tw_soa = jnp.swapaxes(tables[key][s], 0, 1)     # (16, m/2)
+        return jnp.broadcast_to(
+            tw_soa[:, None, None, :], (NUM_LIMBS, tile // m, 2, m // 2)
+        ).reshape(NUM_LIMBS, tile)
+
+    n_local = min(dom.k, tile.bit_length() - 1)
+    if n_local > 0:
+        pack = jnp.concatenate(
+            [tile_pattern(s) for s in range(n_local)], axis=1
+        )
+        x = _stages_local(FR, x, pack, n_local)
+    for s in range(n_local, dom.k):
+        m = 1 << (s + 1)
+        tw_soa = jnp.swapaxes(tables[key][s], 0, 1)     # (16, m/2)
+        x = _stage_global(FR, x, tw_soa, m)
     if inverse:
         n_inv = jnp.broadcast_to(
             jnp.swapaxes(tables["n_inv"].reshape(1, NUM_LIMBS), 0, 1),
