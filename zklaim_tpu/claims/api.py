@@ -172,6 +172,7 @@ class Context:
         self.signature: bytes = bytes(SIGNATURE_SIZE)
         self._circuit_cache = {}
         self._pk_cache = None
+        self._vk_cache = None
 
     def __deepcopy__(self, memo):
         """Deep-copy wire state; share the immutable circuit/pk caches
@@ -184,6 +185,7 @@ class Context:
         new.pub_key, new.signature = self.pub_key, self.signature
         new._circuit_cache = self._circuit_cache
         new._pk_cache = self._pk_cache
+        new._vk_cache = getattr(self, "_vk_cache", None)
         return new
 
     # -- payloads ---------------------------------------------------------
@@ -284,7 +286,15 @@ class Context:
         if not self.proof:
             return 1
         try:
-            vk = serde.vk_from_bytes(self.vk)
+            # vk parsing repeats per verify with identical bytes; the
+            # full validation (3 G2 subgroup checks) costs ~10 ms, so
+            # memoize on the raw bytes (proofs are always re-validated)
+            cache = getattr(self, "_vk_cache", None)
+            if cache is not None and cache[0] == self.vk:
+                vk = cache[1]
+            else:
+                vk = serde.vk_from_bytes(self.vk)
+                self._vk_cache = (self.vk, vk)
             proof = serde.proof_from_bytes(self.proof)
         except serde.SerdeError:
             # malformed/off-curve material is an invalid proof, never a

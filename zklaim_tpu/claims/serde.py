@@ -125,17 +125,40 @@ def be_bytes_to_limbs(raw: np.ndarray) -> np.ndarray:
     return le.view("<u2").astype(np.uint32)
 
 
+# module-level jit + power-of-two padding: a fresh jax.jit per call
+# re-traced AND re-compiled the batched-inversion program for every
+# distinct table length (5 tables x 20 sweep sizes); padded shapes hit
+# log-many compiles shared across all of them
+_affine_jit = jax.jit(JC.proj_to_affine_limbs, static_argnums=0)
+
+
+def _pad_pts_pow2(f, pts):
+    n = jax.tree.leaves(pts)[0].shape[0]
+    n2 = max(2, 1 << (n - 1).bit_length()) if n > 1 else 1
+    if n2 == n:
+        return pts, n
+    inf = JC.point_infinity(f, (n2 - n,))
+    import jax.numpy as jnp
+
+    return (
+        jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), pts, inf),
+        n,
+    )
+
+
 def g1_batch_to_bytes(pts) -> bytes:
-    x, y, inf = jax.jit(JC.proj_to_affine_limbs, static_argnums=0)(JC.FQ_OPS, pts)
-    xb = limbs_to_be_bytes(np.asarray(x))
-    yb = limbs_to_be_bytes(np.asarray(y))
+    padded, n = _pad_pts_pow2(JC.FQ_OPS, pts)
+    x, y, inf = _affine_jit(JC.FQ_OPS, padded)
+    xb = limbs_to_be_bytes(np.asarray(x)[:n])
+    yb = limbs_to_be_bytes(np.asarray(y)[:n])
     return np.concatenate([xb, yb], axis=-1).tobytes()
 
 
 def g2_batch_to_bytes(pts) -> bytes:
-    x, y, inf = jax.jit(JC.proj_to_affine_limbs, static_argnums=0)(JC.FQ2_OPS, pts)
-    xb = limbs_to_be_bytes(np.asarray(x)).reshape(-1, 64)
-    yb = limbs_to_be_bytes(np.asarray(y)).reshape(-1, 64)
+    padded, n = _pad_pts_pow2(JC.FQ2_OPS, pts)
+    x, y, inf = _affine_jit(JC.FQ2_OPS, padded)
+    xb = limbs_to_be_bytes(np.asarray(x)[:n]).reshape(-1, 64)
+    yb = limbs_to_be_bytes(np.asarray(y)[:n]).reshape(-1, 64)
     return np.concatenate([xb, yb], axis=-1).tobytes()
 
 

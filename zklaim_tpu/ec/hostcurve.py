@@ -78,6 +78,102 @@ def _jac_mul_fq(px: int, py: int, k: int):
     return (X * zinv2 % Q, Y * zinv2 % Q * zinv % Q)
 
 
+def _jac_mul_fq2(px, py, k: int):
+    """Int-pair Jacobian ladder over Fq2 (G2); same structure as
+    _jac_mul_fq.  px, py: (c0, c1) int pairs; returns affine int pairs
+    or None for infinity.  The G2 r-order subgroup check in serde runs
+    this with k = r on every deserialized vk/proof point."""
+    from ..ff.fq12flat import m2, s2
+
+    X = Y = Z = None
+    for bit in bin(k)[2:]:
+        if Z is not None and Z != (0, 0):
+            if Y == (0, 0):
+                Z = (0, 0)
+            else:
+                a = s2(*X)
+                b = s2(*Y)
+                c = s2(*b)
+                t = (X[0] + b[0], X[1] + b[1])
+                tt = s2(*t)
+                d = (
+                    2 * (tt[0] - a[0] - c[0]) % Q,
+                    2 * (tt[1] - a[1] - c[1]) % Q,
+                )
+                e = (3 * a[0] % Q, 3 * a[1] % Q)
+                ee = s2(*e)
+                x3 = ((ee[0] - 2 * d[0]) % Q, (ee[1] - 2 * d[1]) % Q)
+                dm = ((d[0] - x3[0]) % Q, (d[1] - x3[1]) % Q)
+                ed = m2(*e, *dm)
+                y3 = ((ed[0] - 8 * c[0]) % Q, (ed[1] - 8 * c[1]) % Q)
+                yz = m2(*Y, *Z)
+                z3 = (2 * yz[0] % Q, 2 * yz[1] % Q)
+                X, Y, Z = x3, y3, z3
+        if bit == "1":
+            if Z is None or Z == (0, 0):
+                X, Y, Z = px, py, (1, 0)
+            else:
+                zz = s2(*Z)
+                u2 = m2(*px, *zz)
+                s2_ = m2(*m2(*py, *Z), *zz)
+                h = ((u2[0] - X[0]) % Q, (u2[1] - X[1]) % Q)
+                r = ((s2_[0] - Y[0]) % Q, (s2_[1] - Y[1]) % Q)
+                if h == (0, 0):
+                    if r == (0, 0):
+                        # doubling case: push back through the dbl branch
+                        a = s2(*X)
+                        b = s2(*Y)
+                        c = s2(*b)
+                        t = (X[0] + b[0], X[1] + b[1])
+                        tt = s2(*t)
+                        d = (
+                            2 * (tt[0] - a[0] - c[0]) % Q,
+                            2 * (tt[1] - a[1] - c[1]) % Q,
+                        )
+                        e = (3 * a[0] % Q, 3 * a[1] % Q)
+                        ee = s2(*e)
+                        x3 = ((ee[0] - 2 * d[0]) % Q, (ee[1] - 2 * d[1]) % Q)
+                        dm = ((d[0] - x3[0]) % Q, (d[1] - x3[1]) % Q)
+                        ed = m2(*e, *dm)
+                        y3 = ((ed[0] - 8 * c[0]) % Q, (ed[1] - 8 * c[1]) % Q)
+                        yz = m2(*Y, *Z)
+                        z3 = (2 * yz[0] % Q, 2 * yz[1] % Q)
+                        X, Y, Z = x3, y3, z3
+                    else:
+                        Z = (0, 0)
+                else:
+                    hh = s2(*h)
+                    i = (4 * hh[0] % Q, 4 * hh[1] % Q)
+                    j = m2(*h, *i)
+                    r2 = (2 * r[0], 2 * r[1])
+                    v = m2(*X, *i)
+                    rr = s2(*r2)
+                    x3 = (
+                        (rr[0] - j[0] - 2 * v[0]) % Q,
+                        (rr[1] - j[1] - 2 * v[1]) % Q,
+                    )
+                    vm = ((v[0] - x3[0]) % Q, (v[1] - x3[1]) % Q)
+                    rv = m2(*r2, *vm)
+                    yj = m2(*Y, *j)
+                    y3 = ((rv[0] - 2 * yj[0]) % Q, (rv[1] - 2 * yj[1]) % Q)
+                    zh = (Z[0] + h[0], Z[1] + h[1])
+                    zs = s2(*zh)
+                    z3 = (
+                        (zs[0] - zz[0] - hh[0]) % Q,
+                        (zs[1] - zz[1] - hh[1]) % Q,
+                    )
+                    X, Y, Z = x3, y3, z3
+    if Z is None or Z == (0, 0):
+        return None
+    # invert Z in Fq2: conj / norm
+    n0 = (Z[0] * Z[0] + Z[1] * Z[1]) % Q
+    ninv = pow(n0, -1, Q)
+    zi = (Z[0] * ninv % Q, (-Z[1]) * ninv % Q)
+    zi2 = s2(*zi)
+    zi3 = m2(*zi2, *zi)
+    return (m2(*X, *zi2), m2(*Y, *zi3))
+
+
 def _jac_double(X1, Y1, Z1):
     """Jacobian doubling on y^2 = x^3 + b (a = 0); generic over Fq/Fq2."""
     if Y1.is_zero():
@@ -205,6 +301,13 @@ class CurvePoint:
             if out is None:
                 return CurvePoint.infinity(self.b)
             return CurvePoint(Fq(out[0]), Fq(out[1]), self.b)
+        if type(self.x) is Fq2:
+            out = _jac_mul_fq2(
+                (self.x.c0, self.x.c1), (self.y.c0, self.y.c1), k
+            )
+            if out is None:
+                return CurvePoint.infinity(self.b)
+            return CurvePoint(Fq2(*out[0]), Fq2(*out[1]), self.b)
         one = type(self.x).ONE
         x2, y2 = self.x, self.y              # fixed affine addend
         acc = None                           # jacobian accumulator

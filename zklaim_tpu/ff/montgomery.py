@@ -160,16 +160,19 @@ def mont_mul_bulk(spec: FieldSpec, a, b):
     Pallas kernel on TPU (~50x the XLA lowering, measured 410 ns/elem ->
     <8; see ntt/pallas_ntt.py).  Any other shape/backend falls back to
     the XLA path.  Semantics identical."""
-    if (
-        a.ndim == 2
-        and b.shape == a.shape
-        and a.shape[0] >= 4096
-        and a.shape[0] % 128 == 0
-    ):
+    if a.ndim == 2 and b.shape == a.shape and a.shape[0] >= 4096:
         from ..ntt import pallas_ntt as PN
 
         if PN.use_pallas():
-            return PN.mont_mul_aos(spec, a, b)
+            n = a.shape[0]
+            # pad to a whole number of kernel lane tiles (0*0 = 0);
+            # bulk_mul's grid drops remainder lanes otherwise
+            n2 = -(-n // PN.LANES) * PN.LANES
+            if n2 != n:
+                a = jnp.pad(a, ((0, n2 - n), (0, 0)))
+                b = jnp.pad(b, ((0, n2 - n), (0, 0)))
+            out = PN.mont_mul_aos(spec, a, b)
+            return out[:n] if n2 != n else out
     return mont_mul(spec, a, b)
 
 
@@ -242,9 +245,9 @@ def mont_pow_bits(spec: FieldSpec, a, exp_bits: np.ndarray):
     def body(i, carry):
         acc, base = carry
         bit = bits[i]
-        mul = mont_mul(spec, acc, base)
+        mul = mont_mul_bulk(spec, acc, base)
         acc = select(bit == 1, mul, acc)
-        base = mont_sqr(spec, base)
+        base = mont_mul_bulk(spec, base, base)
         return acc, base
 
     acc, _ = lax.fori_loop(0, int(len(exp_bits)), body, (one, a))
@@ -267,13 +270,13 @@ def mont_inv(spec: FieldSpec, a):
 def to_mont(spec: FieldSpec, x):
     """Canonical limbs (plain domain) -> Montgomery domain."""
     r2 = jnp.broadcast_to(jnp.asarray(spec.r2_limbs), x.shape).astype(U32)
-    return mont_mul(spec, x, r2)
+    return mont_mul_bulk(spec, x, r2)
 
 
 def from_mont(spec: FieldSpec, x):
     """Montgomery domain -> plain domain limbs."""
     one = jnp.zeros_like(x).at[..., 0].set(1)
-    return mont_mul(spec, x, one)
+    return mont_mul_bulk(spec, x, one)
 
 
 def encode_ints(spec: FieldSpec, xs) -> np.ndarray:

@@ -164,6 +164,9 @@ def setup(cs, rng) -> tuple[ProvingKey, VerifyingKey, QAP]:
     return pk, vk, qap
 
 
+_H_PIPELINE_CACHE: dict = {}
+
+
 def h_pipeline(qap: QAP):
     """ONE jitted program: plain witness -> mont encode -> satisfaction
     check -> witness map -> NTT -> plain H coefficients.
@@ -181,18 +184,31 @@ def h_pipeline(qap: QAP):
     """
     fn = getattr(qap, "_h_fn", None)
     if fn is None:
+        # ONE jit wrapper per SHAPE SIGNATURE, not per QAP object: the
+        # traced program depends only on (m, padded nnz, padded vars) --
+        # every tensor rides as an argument -- so payload counts sharing
+        # a domain bucket share the compiled executable.  (A per-QAP
+        # jax.jit recompiled an identical ~200 s program for every N of
+        # the benchmark sweep.)
+        key = (
+            qap.m,
+            qap.num_vars_pad,
+            tuple(int(qap.coo_dev[k][0].shape[0]) for k in ("A", "B", "C")),
+        )
+        jfn = _H_PIPELINE_CACHE.get(key)
+        if jfn is None:
 
-        def run(w_plain, dev):
-            w_mont = M.to_mont(FR, w_plain)
-            evals = qap.constraint_evals(w_mont, dev["coo"])
-            a_ev, b_ev, c_ev = evals
-            bad = jnp.any(M.mont_mul(FR, a_ev, b_ev) != c_ev, axis=-1)
-            h_mont = qap.h_coefficients(w_mont, evals, dev)
-            return M.from_mont(FR, h_mont)[: qap.m - 1], jnp.sum(bad)
+            def run(w_plain, dev, _q=qap):
+                w_mont = M.to_mont(FR, w_plain)
+                evals = _q.constraint_evals(w_mont, dev["coo"])
+                a_ev, b_ev, c_ev = evals
+                bad = jnp.any(M.mont_mul(FR, a_ev, b_ev) != c_ev, axis=-1)
+                h_mont = _q.h_coefficients(w_mont, evals, dev)
+                return M.from_mont(FR, h_mont)[: _q.m - 1], jnp.sum(bad)
 
-        # COO + twiddles ride as jit arguments, not closed-over HLO
-        # literals (tunnel-fatal at sweep sizes; see qap.device_args)
-        jfn = jax.jit(run)
+            # COO + twiddles ride as jit arguments, not closed-over HLO
+            # literals (tunnel-fatal at sweep sizes; see qap.device_args)
+            jfn = _H_PIPELINE_CACHE[key] = jax.jit(run)
         fn = qap._h_fn = lambda w_plain: jfn(w_plain, qap.device_args())
     return fn
 
@@ -213,7 +229,11 @@ def prove(pk: ProvingKey, qap: QAP, witness, rng, msm_c: int = 8) -> Proof:
 
     w_plain = jnp.asarray(witness_plain_limbs(witness))
 
-    h_plain, n_bad = h_pipeline(qap)(w_plain)
+    # pow2-padded witness into the h pipeline: with the padded COO
+    # (qap.coo_dev) the traced shapes depend only on the m bucket, so
+    # payload counts sharing a domain size share ONE compiled program
+    w_pad = jnp.pad(w_plain, ((0, qap.num_vars_pad - qap.num_vars), (0, 0)))
+    h_plain, n_bad = h_pipeline(qap)(w_pad)
     if int(n_bad):
         raise ValueError(
             f"unsatisfied constraint: {qap.cs.first_unsatisfied(witness)}"

@@ -70,14 +70,35 @@ class QAP:
             list(a_coeffs) + [1] * (self.num_primary + 1),
         )
         self.coo_host = coo
+
+        # DEVICE copies are padded to power-of-two nnz (row m-1, col 0,
+        # coeff 0: contributes nothing to any segment sum).  Together
+        # with the power-of-two witness padding in the prover this makes
+        # the h_pipeline's traced shapes identical for every payload
+        # count sharing an m bucket -- without it the N=1..20 sweep paid
+        # a fresh ~200 s XLA compile PER N for the same pipeline.
+        def pad_coo(rows, cols, coeffs):
+            nnz = len(rows)
+            nnz2 = max(2, 1 << (nnz - 1).bit_length())
+            enc = M.encode_ints(FR, coeffs)
+            if nnz2 != nnz:
+                pad = nnz2 - nnz
+                rows = np.concatenate(
+                    [rows, np.full(pad, self.m - 1, dtype=np.int32)]
+                )
+                cols = np.concatenate([cols, np.zeros(pad, dtype=np.int32)])
+                enc = np.concatenate(
+                    [enc, np.zeros((pad, enc.shape[1]), dtype=enc.dtype)]
+                )
+            return jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(enc)
+
         self.coo_dev = {
-            name: (
-                jnp.asarray(rows),
-                jnp.asarray(cols),
-                jnp.asarray(M.encode_ints(FR, coeffs)),
-            )
+            name: pad_coo(np.asarray(rows, dtype=np.int32),
+                          np.asarray(cols, dtype=np.int32), coeffs)
             for name, (rows, cols, coeffs) in coo.items()
         }
+        # witness rows the device pipeline expects (pow2-padded)
+        self.num_vars_pad = max(2, 1 << (self.num_vars - 1).bit_length())
 
     # -- instance map (host, setup-time) ----------------------------------
 
