@@ -162,6 +162,29 @@ def g2_batch_to_bytes(pts) -> bytes:
     return np.concatenate([xb, yb], axis=-1).tobytes()
 
 
+_from_affine_jit = jax.jit(JC.affine_limbs_to_proj, static_argnums=0)
+
+
+def _batch_from_limbs(f, x, y, inf, what):
+    """Shared deserialize tail: pad to power-of-two rows (extra rows are
+    the inert infinity encoding, which the on-curve check accepts), run
+    the MODULE-LEVEL jitted conversion + check, slice back.  Without the
+    bucketing the pk import recompiled the conversion + on-curve
+    programs for every distinct table length (~200 s per sweep size)."""
+    n = x.shape[0]
+    n2 = max(2, 1 << (n - 1).bit_length()) if n > 1 else 1
+    if n2 != n:
+        pad = n2 - n
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+        inf = np.concatenate([inf, np.ones(pad, dtype=bool)])
+    pts = _from_affine_jit(f, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf))
+    _check_batch(f, pts, what)
+    if n2 != n:
+        pts = jax.tree.map(lambda a: a[:n], pts)
+    return pts
+
+
 def g1_batch_from_bytes(raw: bytes, n: int):
     if len(raw) != 64 * n:
         raise SerdeError("truncated G1 point array")
@@ -171,10 +194,7 @@ def g1_batch_from_bytes(raw: bytes, n: int):
     inf = ~np.logical_or(x.any(axis=-1), y.any(axis=-1))
     if _any_coord_ge_q(arr[~inf].reshape(-1, 32)):
         raise SerdeError("G1 coordinate out of range")
-    pts = jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
-        JC.FQ_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)
-    )
-    return _check_batch(JC.FQ_OPS, pts, "G1 batch")
+    return _batch_from_limbs(JC.FQ_OPS, x, y, inf, "G1 batch")
 
 
 def g2_batch_from_bytes(raw: bytes, n: int):
@@ -186,10 +206,7 @@ def g2_batch_from_bytes(raw: bytes, n: int):
     inf = ~np.logical_or(x.any(axis=(-1, -2)), y.any(axis=(-1, -2)))
     if _any_coord_ge_q(arr[~inf].reshape(-1, 32)):
         raise SerdeError("G2 coordinate out of range")
-    pts = jax.jit(JC.affine_limbs_to_proj, static_argnums=0)(
-        JC.FQ2_OPS, jnp.asarray(x), jnp.asarray(y), jnp.asarray(inf)
-    )
-    return _check_batch(JC.FQ2_OPS, pts, "G2 batch")
+    return _batch_from_limbs(JC.FQ2_OPS, x, y, inf, "G2 batch")
 
 
 # -- host CurvePoint <-> bytes (single points) ------------------------------

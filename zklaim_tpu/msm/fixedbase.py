@@ -113,4 +113,8 @@ def g2_table(c: int = 8) -> FixedBaseTable:
 def fixed_base_mul(f, gen_kind: str, scalars_limbs, c: int = 8):
     """s*G for every row of scalars_limbs; gen_kind in {'g1','g2'}."""
     table = g1_table(c) if gen_kind == "g1" else g2_table(c)
-    return jax.jit(table.mul)(scalars_limbs)
+    # one jit wrapper per table (a fresh jax.jit each call re-traces)
+    fn = table.__dict__.get("_mul_jit")
+    if fn is None:
+        fn = table._mul_jit = jax.jit(table.mul)
+    return fn(scalars_limbs)
